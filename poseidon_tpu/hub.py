@@ -1,0 +1,357 @@
+"""HF-Hub / PyTorch checkpoint bridge.
+
+Maps the reference's PyTorch ``ScOT`` state dict (camlab-ethz/Poseidon-{T,B,L}
+layout; naming per /root/reference/scOT/model.py: embeddings / encoder /
+decoder / patch_recovery / residual_blocks) onto this package's Flax param
+pytree, handling the layout differences:
+
+- torch ``nn.Linear`` weight (out, in)        -> Dense kernel (in, out)
+- torch ``nn.Conv2d``  weight (O, I, kh, kw)  -> Conv kernel (kh, kw, I, O)
+- patchify Conv2d (E, C, p, p)                -> GEMM kernel (p*p*C, E) in
+  (dy, dx, c) row order (see models.layers.PatchEmbed)
+- patch-recovery ConvTranspose2d (E, O, p, p) -> GEMM kernel (E, p*p*O) in
+  (dy, dx, o) column order; bias (O,) tiled p*p times
+- decoder stage k in the torch ModuleList corresponds to pyramid level
+  ``num_stages - 1 - k`` (the reference builds decode stages deepest-first,
+  model.py:1139)
+
+Also implements the ``from_pretrained(..., ignore_mismatched_sizes=True)``
+finetune surgery (reference train.py:330-335): when the new config changes
+in/out channels, mismatched embedding/recovery tensors keep their fresh init.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .config import ScOTConfig
+
+# ---------------------------------------------------------------------------
+# Tensor re-layout helpers
+# ---------------------------------------------------------------------------
+
+def _linear_w(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    # (O, I, kh, kw) -> (kh, kw, I, O)
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _patch_embed_w(w: np.ndarray) -> np.ndarray:
+    # (E, C, p, p) -> (p, p, C, E) -> (p*p*C, E)
+    e = w.shape[0]
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0)).reshape(-1, e)
+
+
+def _patch_recovery_w(w: np.ndarray) -> np.ndarray:
+    # ConvTranspose2d weight (E, O, p, p) -> (E, p, p, O) -> (E, p*p*O)
+    e = w.shape[0]
+    return np.ascontiguousarray(w.transpose(0, 2, 3, 1)).reshape(e, -1)
+
+
+# ---------------------------------------------------------------------------
+# Name mapping
+# ---------------------------------------------------------------------------
+
+def _norm_entries(dst: dict, torch_prefix: str, use_conditioning: bool,
+                  getw, name: str = "norm") -> None:
+    """Map a (Conditional)LayerNorm at ``torch_prefix`` into dst[name]."""
+    if use_conditioning:
+        dst[name] = {
+            "cond_scale": {
+                "kernel": getw(f"{torch_prefix}.weight.weight", _linear_w),
+                "bias": getw(f"{torch_prefix}.weight.bias"),
+            },
+            "cond_shift": {
+                "kernel": getw(f"{torch_prefix}.bias.weight", _linear_w),
+                "bias": getw(f"{torch_prefix}.bias.bias"),
+            },
+        }
+    else:
+        dst[name] = {
+            "LayerNorm_0": {
+                "scale": getw(f"{torch_prefix}.weight"),
+                "bias": getw(f"{torch_prefix}.bias"),
+            }
+        }
+
+
+def _block_entries(torch_prefix: str, cfg: ScOTConfig, getw) -> dict:
+    """One SwinBlock: attention + norms + MLP."""
+    out = {
+        "attn": {
+            "query": {
+                "kernel": getw(f"{torch_prefix}.attention.self.query.weight", _linear_w),
+            },
+            "key": {
+                "kernel": getw(f"{torch_prefix}.attention.self.key.weight", _linear_w),
+            },
+            "value": {
+                "kernel": getw(f"{torch_prefix}.attention.self.value.weight", _linear_w),
+            },
+            "proj": {
+                "kernel": getw(f"{torch_prefix}.attention.output.dense.weight", _linear_w),
+                "bias": getw(f"{torch_prefix}.attention.output.dense.bias"),
+            },
+            "cpb_mlp1": {
+                "kernel": getw(
+                    f"{torch_prefix}.attention.self.continuous_position_bias_mlp.0.weight",
+                    _linear_w),
+                "bias": getw(
+                    f"{torch_prefix}.attention.self.continuous_position_bias_mlp.0.bias"),
+            },
+            "cpb_mlp2": {
+                "kernel": getw(
+                    f"{torch_prefix}.attention.self.continuous_position_bias_mlp.2.weight",
+                    _linear_w),
+            },
+            "logit_scale": getw(f"{torch_prefix}.attention.self.logit_scale"),
+        },
+        "mlp_fc1": {
+            "kernel": getw(f"{torch_prefix}.intermediate.dense.weight", _linear_w),
+            "bias": getw(f"{torch_prefix}.intermediate.dense.bias"),
+        },
+        "mlp_fc2": {
+            "kernel": getw(f"{torch_prefix}.output.dense.weight", _linear_w),
+            "bias": getw(f"{torch_prefix}.output.dense.bias"),
+        },
+    }
+    if cfg.qkv_bias:
+        out["attn"]["query"]["bias"] = getw(f"{torch_prefix}.attention.self.query.bias")
+        out["attn"]["value"]["bias"] = getw(f"{torch_prefix}.attention.self.value.bias")
+    _norm_entries(out, f"{torch_prefix}.layernorm_before", cfg.use_conditioning,
+                  getw, "norm_attn")
+    _norm_entries(out, f"{torch_prefix}.layernorm_after", cfg.use_conditioning,
+                  getw, "norm_mlp")
+    return out
+
+
+def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
+                             cfg: ScOTConfig) -> dict:
+    """Convert a reference PyTorch state dict to this package's params tree."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    consumed = set()
+
+    def getw(key: str, f=None):
+        consumed.add(key)
+        w = sd[key]
+        return f(w) if f is not None else w
+
+    params: dict = {}
+
+    # embeddings
+    params["embeddings"] = {
+        "projection": {
+            "kernel": getw("embeddings.patch_embeddings.projection.weight", _patch_embed_w),
+            "bias": getw("embeddings.patch_embeddings.projection.bias"),
+        }
+    }
+    _norm_entries(params, "embeddings.norm", cfg.use_conditioning, getw, "embed_norm")
+    if "embeddings.mask_token" in sd:
+        params["mask_token"] = getw("embeddings.mask_token")
+    if "embeddings.position_embeddings" in sd and cfg.use_absolute_embeddings:
+        params["position_embeddings"] = getw("embeddings.position_embeddings")
+
+    # encoder
+    enc: dict = {}
+    for i in range(cfg.num_stages):
+        for j in range(cfg.depths[i]):
+            enc[f"stage_{i}_block_{j}"] = _block_entries(
+                f"encoder.layers.{i}.blocks.{j}", cfg, getw)
+        if i < cfg.num_stages - 1:
+            ds = {
+                "reduction": {
+                    "kernel": getw(f"encoder.layers.{i}.downsample.reduction.weight",
+                                   _linear_w),
+                }
+            }
+            _norm_entries(ds, f"encoder.layers.{i}.downsample.norm",
+                          cfg.use_conditioning, getw)
+            enc[f"downsample_{i}"] = ds
+    params["encoder"] = enc
+
+    # decoder: torch layer index k <-> pyramid level (num_stages - 1 - k)
+    dec: dict = {}
+    for k in range(cfg.num_stages):
+        lvl = cfg.num_stages - 1 - k
+        for j in range(cfg.depths[lvl]):
+            dec[f"stage_{lvl}_block_{j}"] = _block_entries(
+                f"decoder.layers.{k}.blocks.{j}", cfg, getw)
+        if lvl > 0:
+            us = {
+                "expand": {
+                    "kernel": getw(f"decoder.layers.{k}.upsample.upsample.weight",
+                                   _linear_w),
+                },
+                "mixup": {
+                    "kernel": getw(f"decoder.layers.{k}.upsample.mixup.weight",
+                                   _linear_w),
+                },
+            }
+            _norm_entries(us, f"decoder.layers.{k}.upsample.norm",
+                          cfg.use_conditioning, getw)
+            dec[f"upsample_{lvl}"] = us
+    params["decoder"] = dec
+
+    # residual skip blocks
+    for i, depth in enumerate(cfg.skip_connections):
+        for j in range(depth):
+            pre = f"residual_blocks.{i}.{j}"
+            if cfg.residual_model == "convnext":
+                blk = {
+                    "dwconv": {
+                        "kernel": getw(f"{pre}.dwconv.weight", _conv_w),
+                        "bias": getw(f"{pre}.dwconv.bias"),
+                    },
+                    "pwconv1": {
+                        "kernel": getw(f"{pre}.pwconv1.weight", _linear_w),
+                        "bias": getw(f"{pre}.pwconv1.bias"),
+                    },
+                    "pwconv2": {
+                        "kernel": getw(f"{pre}.pwconv2.weight", _linear_w),
+                        "bias": getw(f"{pre}.pwconv2.bias"),
+                    },
+                    "layer_scale": getw(f"{pre}.weight"),
+                }
+                _norm_entries(blk, f"{pre}.norm", cfg.use_conditioning, getw)
+            else:
+                blk = {
+                    "conv1": {"kernel": getw(f"{pre}.conv1.weight", _conv_w),
+                              "bias": getw(f"{pre}.conv1.bias")},
+                    "conv2": {"kernel": getw(f"{pre}.conv2.weight", _conv_w),
+                              "bias": getw(f"{pre}.conv2.bias")},
+                    "bn1": {"scale": getw(f"{pre}.bn1.weight"),
+                            "bias": getw(f"{pre}.bn1.bias")},
+                    "bn2": {"scale": getw(f"{pre}.bn2.weight"),
+                            "bias": getw(f"{pre}.bn2.bias")},
+                }
+            params[f"residual_{i}_{j}"] = blk
+
+    # patch recovery
+    params["patch_recovery"] = {
+        "projection": {
+            "kernel": getw("patch_recovery.projection.weight", _patch_recovery_w),
+        },
+        "projection_bias": getw("patch_recovery.projection.bias"),
+        "mixup": {"kernel": getw("patch_recovery.mixup.weight", _conv_w)},
+    }
+
+    return params
+
+
+def convert_torch_batch_stats(state_dict: Dict[str, np.ndarray],
+                              cfg: ScOTConfig) -> Optional[dict]:
+    """BatchNorm running stats for the resnet residual variant."""
+    if cfg.residual_model != "resnet":
+        return None
+    out: dict = {}
+    for i, depth in enumerate(cfg.skip_connections):
+        for j in range(depth):
+            pre = f"residual_blocks.{i}.{j}"
+            out[f"residual_{i}_{j}"] = {
+                "bn1": {"mean": np.asarray(state_dict[f"{pre}.bn1.running_mean"]),
+                        "var": np.asarray(state_dict[f"{pre}.bn1.running_var"])},
+                "bn2": {"mean": np.asarray(state_dict[f"{pre}.bn2.running_mean"]),
+                        "var": np.asarray(state_dict[f"{pre}.bn2.running_var"])},
+            }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint loading
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Load a PyTorch checkpoint directory (safetensors preferred)."""
+    st_path = os.path.join(model_dir, "model.safetensors")
+    bin_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        return load_file(st_path)
+    if os.path.exists(bin_path):
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(
+        f"No model.safetensors or pytorch_model.bin in {model_dir}")
+
+
+def load_config(model_dir: str) -> ScOTConfig:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        return ScOTConfig.from_dict(json.load(f))
+
+
+def _merge_with_init(loaded: dict, init: dict, replaced: list,
+                     path: Tuple[str, ...] = ()) -> dict:
+    """Recursively overlay ``loaded`` onto ``init``; keep the fresh init where a
+    tensor is missing or shape-mismatched (``ignore_mismatched_sizes``)."""
+    out = {}
+    for key, init_val in init.items():
+        lv = loaded.get(key) if isinstance(loaded, dict) else None
+        if isinstance(init_val, dict):
+            out[key] = _merge_with_init(lv or {}, init_val, replaced, path + (key,))
+        else:
+            if lv is not None and tuple(np.shape(lv)) == tuple(init_val.shape):
+                out[key] = np.asarray(lv, dtype=np.float32)
+            else:
+                replaced.append("/".join(path + (key,)))
+                out[key] = init_val
+    return out
+
+
+def from_pretrained(
+    model_dir: str,
+    config: Optional[ScOTConfig] = None,
+    ignore_mismatched_sizes: bool = False,
+    dtype=None,
+):
+    """Load a reference PyTorch checkpoint into a Flax ScOT.
+
+    Mirrors ``ScOT.from_pretrained(path, config=new_config,
+    ignore_mismatched_sizes=True)`` (reference train.py:330-335): with a new
+    config whose in/out channels differ, the embedding/patch-recovery tensors
+    that no longer fit keep their freshly initialized values (to be trained
+    with the dedicated ``embeddings`` learning-rate group).
+
+    Returns: (model, variables, replaced_names)
+    """
+    import jax.numpy as jnp
+
+    from .models.scot import ScOT
+
+    cfg = config if config is not None else load_config(model_dir)
+    model = ScOT(config=cfg, dtype=dtype or jnp.float32)
+
+    sd = load_torch_state_dict(model_dir)
+    src_cfg = load_config(model_dir) if config is not None else cfg
+    # Convert with the SOURCE channel shapes, then overlay onto target init.
+    conv_cfg = cfg.replace(num_channels=src_cfg.num_channels,
+                           num_out_channels=src_cfg.num_out_channels)
+    loaded = convert_torch_state_dict(sd, conv_cfg)
+
+    ex_x = np.zeros((1, cfg.num_channels, cfg.image_size, cfg.image_size), np.float32)
+    ex_t = np.zeros((1,), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ex_x), jnp.asarray(ex_t))
+
+    replaced: list = []
+    params = _merge_with_init(loaded, jax.tree.map(np.asarray, variables["params"]), replaced)
+    if replaced and not ignore_mismatched_sizes:
+        raise ValueError(
+            "Checkpoint/config mismatch for: " + ", ".join(replaced)
+            + " — pass ignore_mismatched_sizes=True to re-initialize them.")
+    new_vars = dict(variables)
+    new_vars["params"] = jax.tree.map(jnp.asarray, params)
+    bs = convert_torch_batch_stats(sd, cfg)
+    if bs is not None and "batch_stats" in variables:
+        new_vars["batch_stats"] = jax.tree.map(
+            jnp.asarray, _merge_with_init(bs, jax.tree.map(np.asarray, variables["batch_stats"]), []))
+    return model, new_vars, replaced

@@ -1,0 +1,197 @@
+"""Shifted-window cosine attention with log-spaced continuous relative
+position bias (SwinV2-style) — the core mixing op of scOT.
+
+Behavioral parity targets (not ported code):
+- cosine attention with learned per-head clamped logit scale, key projection
+  bias-free: transformers swinv2 ``Swinv2SelfAttention`` (modeling_swinv2.py:
+  407-539), used by the reference at /root/reference/scOT/model.py:539.
+- log-CPB: coords normalized to +-8 then sign*log2(|x|+1)/log2(8), MLP
+  Linear(2,512)->ReLU->Linear(512,heads, no bias), 16*sigmoid on the gathered
+  bias.
+- shifted-window additive mask: -100 per application; the HF implementation
+  adds the mask twice (an upstream quirk), reproduced here as a single
+  2x-scaled add so that pre-softmax logits match bit-for-bit.
+
+The window geometry (partition/reverse, roll, masks, CPB tables) is all static
+given (H, W, window, shift), so it's precomputed with numpy at trace time and
+baked into the compiled program as constants.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from .layers import normal_init
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Static geometry helpers (numpy; cached per window configuration)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def relative_coords_table(window_size: int) -> np.ndarray:
+    """Log-spaced normalized relative-coordinate table, shape
+    ((2w-1)*(2w-1), 2), the CPB MLP's input."""
+    w = window_size
+    coords = np.arange(-(w - 1), w, dtype=np.float32)
+    table = np.stack(np.meshgrid(coords, coords, indexing="ij"), axis=-1)  # (2w-1, 2w-1, 2)
+    if w > 1:
+        table = table / (w - 1)
+    table = table * 8.0
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return table.reshape(-1, 2).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(window_size: int) -> np.ndarray:
+    """(T, T) index into the flattened (2w-1)^2 bias table, T = w*w."""
+    w = window_size
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))  # (2, w, w)
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, T, T)
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += w - 1
+    rel[:, :, 1] += w - 1
+    rel[:, :, 0] *= 2 * w - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(height: int, width: int, window: int, shift: int) -> Optional[np.ndarray]:
+    """Additive attention mask (num_windows, T, T) for the cyclic-shift scheme;
+    0 within a contiguous region, -100 across regions. None when shift == 0."""
+    if shift == 0:
+        return None
+    img = np.zeros((height, width), dtype=np.float32)
+    slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    cnt = 0
+    for hs in slices:
+        for ws in slices:
+            img[hs, ws] = cnt
+            cnt += 1
+    # partition into windows
+    img = img.reshape(height // window, window, width // window, window)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, window * window)  # (nW, T)
+    mask = img[:, None, :] - img[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jax.Array, window: int) -> jax.Array:
+    """(B, H, W, C) -> (B*nW, window*window, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, c)
+
+
+def window_reverse(x: jax.Array, window: int, height: int, width: int) -> jax.Array:
+    """(B*nW, window*window, C) -> (B, H, W, C)."""
+    c = x.shape[-1]
+    nh, nw = height // window, width // window
+    x = x.reshape(-1, nh, nw, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, height, width, c)
+
+
+# ---------------------------------------------------------------------------
+# Attention module
+# ---------------------------------------------------------------------------
+
+class WindowAttention(nn.Module):
+    """Cosine attention over flattened windows.
+
+    Input: (num_windows_total, T, C) with T = window_size**2. The additive
+    mask (num_windows_per_image, T, T) is a static constant.
+    """
+
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+    initializer_range: float = 0.02
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[np.ndarray],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        bnw, t, c = x.shape
+        heads, hd = self.num_heads, self.dim // self.num_heads
+        init = normal_init(self.initializer_range)
+        dense = functools.partial(
+            nn.Dense, dtype=self.dtype, kernel_init=init, bias_init=nn.initializers.zeros
+        )
+
+        q = dense(self.dim, use_bias=self.qkv_bias, name="query")(x)
+        k = dense(self.dim, use_bias=False, name="key")(x)  # key is always bias-free
+        v = dense(self.dim, use_bias=self.qkv_bias, name="value")(x)
+        q = q.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
+
+        # Cosine attention in fp32: L2-normalize q and k along the head dim
+        # (torch F.normalize semantics: x / max(||x||, 1e-12)).
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+        kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+        scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf)
+
+        logit_scale = self.param(
+            "logit_scale",
+            nn.initializers.constant(math.log(10.0)),
+            (heads, 1, 1), jnp.float32,
+        )
+        scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
+        scores = scores * scale[None]
+
+        scores = scores + self._position_bias()[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            m = jnp.asarray(mask, dtype=jnp.float32)
+            # The HF reference adds the mask twice (modeling_swinv2.py:513-520);
+            # a single 2x add reproduces the exact pre-softmax logits.
+            scores = scores.reshape(bnw // nw, nw, heads, t, t) + 2.0 * m[None, :, None]
+            scores = scores.reshape(bnw, heads, t, t)
+
+        probs = jax.nn.softmax(scores, axis=-1)
+        if self.attn_drop > 0.0 and not deterministic:
+            probs = nn.Dropout(self.attn_drop)(probs, deterministic=False)
+        probs = probs.astype(v.dtype)
+
+        out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bnw, t, c)
+        out = dense(self.dim, name="proj")(out)
+        if self.proj_drop > 0.0 and not deterministic:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=False)
+        return out
+
+    def _position_bias(self) -> jax.Array:
+        """CPB MLP over the static log-coord table, gathered to (heads, T, T),
+        then 16*sigmoid."""
+        init = normal_init(self.initializer_range)
+        table = jnp.asarray(relative_coords_table(self.window_size))  # (M, 2)
+        h = nn.Dense(512, name="cpb_mlp1", dtype=jnp.float32, kernel_init=init,
+                     bias_init=nn.initializers.zeros)(table)
+        h = jax.nn.relu(h)
+        h = nn.Dense(self.num_heads, use_bias=False, name="cpb_mlp2",
+                     dtype=jnp.float32, kernel_init=init)(h)  # (M, heads)
+        idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
+        t = self.window_size * self.window_size
+        bias = h[idx].reshape(t, t, self.num_heads).transpose(2, 0, 1)
+        return 16.0 * jax.nn.sigmoid(bias)

@@ -1,0 +1,415 @@
+"""The scOT model: a SwinV2-style hierarchical vision-transformer neural
+operator with a U-Net encoder/decoder, rebuilt TPU-native in Flax.
+
+Architecture parity targets (/root/reference/scOT/model.py — structure only,
+no code ported):
+- SwinBlock: post-norm residuals — ``x = x + drop_path(norm(attn(x)))`` then
+  ``x = x + drop_path(norm(mlp(x)))`` (model.py:563-574).
+- Encode stage: depth blocks alternating shift 0 / window//2, then
+  PatchMerging applied to ``blocks_out + stage_input`` (stage residual,
+  model.py:843-849). The deepest stage has no merging (and hence no stage
+  residual on its output).
+- Decode stage: mirror with PatchUnmerging; blocks run shifted-first when
+  depth is even because the reference constructs them in reversed order
+  (model.py:885-901).
+- Decoder consumes the deepest skip as its input and adds skips (after their
+  ConvNeXt residual blocks) before stages 1..3 (model.py:1175-1177, 1396-1401).
+- Drop-path rates: linspace(0, rate, 2*sum(depths)); first half for the
+  encoder, second half for the decoder; decoder stage i_layer takes slice
+  [sum(depths[i+1:]) : sum(depths[i:])] (model.py:976-982, 1111-1117).
+- FFT up/down-resampling when input resolution != config.image_size
+  (model.py:1293-1316).
+- Loss: per-channel-group normalized L1/L2 (model.py:1424-1484).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from ..config import ScOTConfig
+from .attention import (
+    WindowAttention,
+    shifted_window_mask,
+    window_partition,
+    window_reverse,
+)
+from .layers import (
+    ConvNeXtBlock,
+    DropPath,
+    PatchEmbed,
+    PatchMerging,
+    PatchRecovery,
+    PatchUnmerging,
+    ResNetBlock,
+    gelu_exact,
+    make_norm,
+    normal_init,
+)
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Spectral resampling (reference model.py:1293-1316)
+# ---------------------------------------------------------------------------
+
+def fft_downsample(x: jax.Array, target_size: int) -> jax.Array:
+    """Spectral downsample of (..., H, W) square images (norm='forward')."""
+    n = x.shape[-2]
+    freqs = np.fft.fftfreq(n, d=1.0 / n)
+    sel = np.where((freqs >= -target_size / 2) & (freqs <= target_size / 2 - 1))[0]
+    xh = jnp.fft.fft2(x, norm="forward")
+    xh = jnp.take(jnp.take(xh, sel, axis=-2), sel, axis=-1)
+    return jnp.fft.ifft2(xh, norm="forward").real
+
+
+def fft_upsample(x: jax.Array, target_size: int) -> jax.Array:
+    """Spectral upsample of (..., H, W) square images by zero-padding the
+    shifted spectrum (norm='forward')."""
+    n = x.shape[-2]
+    pad = (target_size - n) // 2
+    xh = jnp.fft.fftshift(jnp.fft.fft2(x, norm="forward"), axes=(-2, -1))
+    pad_width = [(0, 0)] * (x.ndim - 2) + [(pad, pad), (pad, pad)]
+    xh = jnp.pad(xh.real, pad_width) + 1j * jnp.pad(xh.imag, pad_width)
+    xh = jnp.fft.ifftshift(xh, axes=(-2, -1))
+    return jnp.fft.ifft2(xh, norm="forward").real
+
+
+# ---------------------------------------------------------------------------
+# Transformer block
+# ---------------------------------------------------------------------------
+
+class SwinBlock(nn.Module):
+    """One post-norm Swin transformer block on a (B, L, C) token map."""
+
+    config: ScOTConfig
+    dim: int
+    num_heads: int
+    resolution: int  # stage token-grid side length
+    shifted: bool
+    drop_path: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: Optional[jax.Array],
+                 deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        h = w = self.resolution
+        window = min(cfg.window_size, h)
+        shift = (cfg.window_size // 2) if (self.shifted and h > window) else 0
+        b, l, c = x.shape
+
+        shortcut = x
+        hs = x.reshape(b, h, w, c)
+        # Pad to a window multiple (no-op for the standard 128->32 grid).
+        hp, wp = -h % window, -w % window
+        if hp or wp:
+            hs = jnp.pad(hs, ((0, 0), (0, hp), (0, wp), (0, 0)))
+        hpad, wpad = h + hp, w + wp
+
+        if shift > 0:
+            hs = jnp.roll(hs, (-shift, -shift), axis=(1, 2))
+        windows = window_partition(hs, window)
+
+        mask = shifted_window_mask(hpad, wpad, window, shift)
+        attn_out = WindowAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=window,
+            qkv_bias=cfg.qkv_bias,
+            attn_drop=cfg.attention_probs_dropout_prob,
+            proj_drop=cfg.attention_probs_dropout_prob,
+            dtype=self.dtype,
+            initializer_range=cfg.initializer_range,
+            name="attn",
+        )(windows, mask, deterministic)
+
+        hs = window_reverse(attn_out, window, hpad, wpad)
+        if shift > 0:
+            hs = jnp.roll(hs, (shift, shift), axis=(1, 2))
+        if hp or wp:
+            hs = hs[:, :h, :w]
+        hs = hs.reshape(b, l, c)
+
+        norm_kw = dict(eps=cfg.layer_norm_eps, dtype=self.dtype,
+                       initializer_range=cfg.initializer_range)
+        # Post-norm residual (SwinV2 order).
+        hs = make_norm(cfg.use_conditioning, c, name="norm_attn", **norm_kw)(hs, time)
+        x = shortcut + DropPath(self.drop_path)(hs, deterministic)
+
+        mlp = nn.Dense(int(cfg.mlp_ratio * c), name="mlp_fc1", dtype=self.dtype,
+                       kernel_init=normal_init(cfg.initializer_range),
+                       bias_init=nn.initializers.zeros)(x)
+        mlp = gelu_exact(mlp)
+        mlp = nn.Dense(c, name="mlp_fc2", dtype=self.dtype,
+                       kernel_init=normal_init(cfg.initializer_range),
+                       bias_init=nn.initializers.zeros)(mlp)
+        if cfg.hidden_dropout_prob > 0.0 and not deterministic:
+            mlp = nn.Dropout(cfg.hidden_dropout_prob)(mlp, deterministic=False)
+        mlp = make_norm(cfg.use_conditioning, c, name="norm_mlp", **norm_kw)(mlp, time)
+        return x + DropPath(self.drop_path)(mlp, deterministic)
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder
+# ---------------------------------------------------------------------------
+
+def _drop_path_rates(cfg: ScOTConfig) -> Tuple[List[float], List[float]]:
+    total = 2 * sum(cfg.depths)
+    rates = list(np.linspace(0.0, cfg.drop_path_rate, total))
+    half = total // 2
+    return rates[:half], rates[half:]
+
+
+class Encoder(nn.Module):
+    """Hierarchical encoder; returns the pre-downsample state of every stage
+    (the U-Net skip states)."""
+
+    config: ScOTConfig
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: Optional[jax.Array],
+                 deterministic: bool = True) -> List[jax.Array]:
+        cfg = self.config
+        block_cls = nn.remat(SwinBlock, static_argnums=(3,)) if self.remat else SwinBlock
+        dpr, _ = _drop_path_rates(cfg)
+        skips: List[jax.Array] = []
+        for i in range(cfg.num_stages):
+            res = cfg.stage_resolution(i)
+            dim = cfg.stage_dim(i)
+            stage_input = x
+            offset = sum(cfg.depths[:i])
+            for j in range(cfg.depths[i]):
+                x = block_cls(
+                    config=cfg, dim=dim, num_heads=cfg.num_heads[i],
+                    resolution=res, shifted=(j % 2 == 1),
+                    drop_path=dpr[offset + j], dtype=self.dtype,
+                    name=f"stage_{i}_block_{j}",
+                )(x, time, deterministic)
+            skips.append(x)
+            if i < cfg.num_stages - 1:
+                # Stage residual feeds the downsample (model.py:843-849).
+                x = PatchMerging(
+                    dim=dim, input_resolution=res,
+                    use_conditioning=cfg.use_conditioning,
+                    eps=cfg.layer_norm_eps, dtype=self.dtype,
+                    initializer_range=cfg.initializer_range,
+                    name=f"downsample_{i}",
+                )(x + stage_input, time)
+        return skips
+
+
+class Decoder(nn.Module):
+    """Mirror decoder: runs stages deepest-first, adds skip states before
+    stages 1..N-1, upsamples between stages."""
+
+    config: ScOTConfig
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skips: List[jax.Array],
+                 time: Optional[jax.Array], deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        block_cls = nn.remat(SwinBlock, static_argnums=(3,)) if self.remat else SwinBlock
+        _, dpr = _drop_path_rates(cfg)
+        n = cfg.num_stages
+        for k in range(n):  # execution order; i_layer = n-1-k is the level
+            lvl = n - 1 - k
+            if k > 0:
+                x = x + skips[lvl]
+            res = cfg.stage_resolution(lvl)
+            dim = cfg.stage_dim(lvl)
+            depth = cfg.depths[lvl]
+            lo = sum(cfg.depths[lvl + 1:])
+            for j in range(depth):
+                # The reference builds decode blocks in reversed order, so the
+                # j-th executed block is shifted iff (depth-1-j) is odd.
+                x = block_cls(
+                    config=cfg, dim=dim, num_heads=cfg.num_heads[lvl],
+                    resolution=res, shifted=((depth - 1 - j) % 2 == 1),
+                    drop_path=dpr[lo + j], dtype=self.dtype,
+                    name=f"stage_{lvl}_block_{j}",
+                )(x, time, deterministic)
+            if lvl > 0:
+                x = PatchUnmerging(
+                    dim=dim, input_resolution=res,
+                    use_conditioning=cfg.use_conditioning,
+                    eps=cfg.layer_norm_eps, dtype=self.dtype,
+                    initializer_range=cfg.initializer_range,
+                    name=f"upsample_{lvl}",
+                )(x, time)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+class ScOT(nn.Module):
+    """U-Net-shaped scOT operator.
+
+    Call signature: ``model.apply(vars, pixel_values, time)`` with
+    ``pixel_values`` in NCHW (B, C_in, H, W) — the reference's data layout —
+    and ``time`` of shape (B,). Returns the NCHW prediction
+    (B, C_out, H, W). Internally everything is NHWC/(B, L, C).
+    """
+
+    config: ScOTConfig
+    dtype: Dtype = jnp.float32
+    use_mask_token: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        pixel_values: jax.Array,
+        time: Optional[jax.Array] = None,
+        bool_masked_pos: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        b = pixel_values.shape[0]
+        if time is None:
+            time = jnp.zeros((b,), jnp.float32)
+
+        # Spectral resample to the native training resolution if needed
+        # (static branch: shapes are compile-time constants).
+        in_size = pixel_values.shape[-2]
+        x = pixel_values
+        if in_size != cfg.image_size:
+            x = (fft_upsample if in_size < cfg.image_size else fft_downsample)(x, cfg.image_size)
+
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)  # NCHW -> NHWC
+
+        # --- embeddings -----------------------------------------------------
+        tokens = PatchEmbed(
+            patch_size=cfg.patch_size, embed_dim=cfg.embed_dim, dtype=self.dtype,
+            initializer_range=cfg.initializer_range, name="embeddings",
+        )(x)
+        tokens = make_norm(
+            cfg.use_conditioning, cfg.embed_dim, eps=1e-5, dtype=self.dtype,
+            initializer_range=cfg.initializer_range, name="embed_norm",
+        )(tokens, time)
+        if self.use_mask_token:
+            mask_token = self.param("mask_token", nn.initializers.zeros,
+                                    (1, 1, cfg.embed_dim), jnp.float32)
+            if bool_masked_pos is not None:
+                m = bool_masked_pos[..., None].astype(tokens.dtype)
+                tokens = tokens * (1.0 - m) + mask_token.astype(tokens.dtype) * m
+        if cfg.use_absolute_embeddings:
+            pos = self.param("position_embeddings", nn.initializers.zeros,
+                             (1, cfg.grid_size * cfg.grid_size, cfg.embed_dim),
+                             jnp.float32)
+            tokens = tokens + pos.astype(tokens.dtype)
+        if cfg.hidden_dropout_prob > 0.0 and not deterministic:
+            tokens = nn.Dropout(cfg.hidden_dropout_prob)(tokens, deterministic=False)
+
+        # --- encoder --------------------------------------------------------
+        skips = Encoder(config=cfg, dtype=self.dtype, name="encoder")(
+            tokens, time, deterministic)
+
+        # --- residual skip blocks ------------------------------------------
+        block_cls = ConvNeXtBlock if cfg.residual_model == "convnext" else ResNetBlock
+        processed = []
+        for i, skip in enumerate(skips):
+            h = skip
+            for j in range(cfg.skip_connections[i]):
+                kw = dict(dim=cfg.stage_dim(i), dtype=self.dtype,
+                          initializer_range=cfg.initializer_range,
+                          name=f"residual_{i}_{j}")
+                if block_cls is ConvNeXtBlock:
+                    kw.update(use_conditioning=cfg.use_conditioning,
+                              eps=cfg.layer_norm_eps)
+                h = block_cls(**kw)(h, time, deterministic)
+            processed.append(h)
+
+        # --- decoder + recovery --------------------------------------------
+        decoded = Decoder(config=cfg, dtype=self.dtype, name="decoder")(
+            processed[-1], processed[:-1], time, deterministic)
+        pred = PatchRecovery(
+            patch_size=cfg.patch_size, num_out_channels=cfg.num_out_channels,
+            grid_size=cfg.grid_size, dtype=self.dtype,
+            initializer_range=cfg.initializer_range, name="patch_recovery",
+        )(decoded)
+
+        pred = jnp.transpose(pred, (0, 3, 1, 2)).astype(jnp.float32)  # NHWC -> NCHW
+
+        if cfg.learn_residual:
+            res_in = pixel_values[:, : cfg.num_out_channels]
+            if in_size != cfg.image_size:
+                res_in = (fft_upsample if in_size < cfg.image_size
+                          else fft_downsample)(res_in, cfg.image_size)
+            pred = pred + res_in
+
+        if in_size != cfg.image_size:
+            pred = (fft_upsample if in_size > cfg.image_size else fft_downsample)(pred, in_size)
+        return pred
+
+
+# ---------------------------------------------------------------------------
+# Loss / mask utilities (reference model.py:1422-1484)
+# ---------------------------------------------------------------------------
+
+def apply_pixel_mask(prediction: jax.Array, labels: jax.Array,
+                     pixel_mask: Optional[jax.Array]) -> jax.Array:
+    """Overwrite masked entries of the prediction with the labels. The mask is
+    either per-channel (B, C) or per-pixel (B, C, H, W)."""
+    if pixel_mask is None:
+        return prediction
+    mask = pixel_mask
+    if mask.ndim == 2:
+        mask = mask[:, :, None, None]
+    return jnp.where(mask, labels.astype(prediction.dtype), prediction)
+
+
+def scot_loss(prediction: jax.Array, labels: jax.Array, config: ScOTConfig) -> jax.Array:
+    """L1/L2 loss, optionally per-channel-group normalized: mean over groups of
+    ``loss(pred_g, label_g) / (loss(label_g, 0) + 1e-10)``."""
+    if config.p == 1:
+        loss_fn = lambda a, b: jnp.mean(jnp.abs(a - b))
+    else:
+        loss_fn = lambda a, b: jnp.mean((a - b) ** 2)
+    slices = config.channel_slice_list_normalized_loss
+    if slices is None:
+        return loss_fn(prediction, labels)
+    terms = []
+    for i in range(len(slices) - 1):
+        p_g = prediction[:, slices[i]:slices[i + 1]]
+        l_g = labels[:, slices[i]:slices[i + 1]]
+        terms.append(loss_fn(p_g, l_g) / (loss_fn(l_g, jnp.zeros_like(l_g)) + 1e-10))
+    return jnp.mean(jnp.stack(terms))
+
+
+def forward_with_loss(
+    model: ScOT,
+    variables,
+    pixel_values: jax.Array,
+    time: Optional[jax.Array],
+    labels: jax.Array,
+    pixel_mask: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    rngs=None,
+    mutable=False,
+):
+    """Forward pass + masked prediction + loss, mirroring ``ScOT.forward`` when
+    labels are supplied. Returns ((loss, prediction)[, new_mutables])."""
+    out = model.apply(
+        variables, pixel_values, time, deterministic=deterministic,
+        rngs=rngs, mutable=mutable if mutable else False,
+    )
+    if mutable:
+        pred, new_vars = out
+    else:
+        pred, new_vars = out, None
+    pred = apply_pixel_mask(pred, labels, pixel_mask)
+    loss = scot_loss(pred, labels, model.config)
+    if mutable:
+        return (loss, pred), new_vars
+    return loss, pred

@@ -1,0 +1,59 @@
+"""Multi-host utilities: process identity, cross-host barriers and object
+broadcast.
+
+TPU-native replacements for the reference's two accelerate collectives
+(``broadcast_object_list`` at /root/reference/scOT/train.py:168 and
+problems/base.py:204) built on jax.experimental.multihost_utils. All helpers
+degrade gracefully to no-ops in single-process runs so the same code path
+works on CPU tests, one chip, and pods.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def sync_hosts(name: str = "sync") -> None:
+    """Barrier across hosts (no-op for single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def broadcast_object(obj: Any) -> Any:
+    """Broadcast a picklable object from process 0 to all processes."""
+    if jax.process_count() <= 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(obj)
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize jax.distributed for multi-host runs. Safe to call when the
+    environment provides TPU metadata (jax auto-detects); no-op if already
+    initialized or single-host."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # Already initialized or single-process environment.
+        pass

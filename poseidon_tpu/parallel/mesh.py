@@ -1,0 +1,80 @@
+"""Device mesh construction and sharding rules.
+
+The scOT training recipe is data-parallel in the reference (DDP only,
+SURVEY.md §2.5); here it becomes an SPMD program over a 2-D
+``(data, model)`` mesh:
+
+- batch dims are sharded over ``data`` (pure DP; XLA inserts the gradient
+  all-reduce over ICI automatically),
+- parameters and optimizer state can additionally be sharded over ``model``
+  (FSDP-style: each tensor's largest divisible axis is split; XLA inserts
+  all-gathers before use and reduce-scatters on the gradients).
+
+With ``model=1`` this degrades to plain DP. Meshes are built with
+``mesh_utils.create_device_mesh`` so the data axis rides the ICI torus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if num_data is None:
+        num_data = n // num_model
+    if num_data * num_model != n:
+        raise ValueError(f"mesh {num_data}x{num_model} != {n} devices")
+    arr = mesh_utils.create_device_mesh((num_data, num_model), devices=np.asarray(devices))
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_partition_spec(path_shape, mesh: Mesh, min_size: int = 2**16) -> P:
+    """FSDP-style spec for one parameter: shard the largest axis divisible by
+    the model-axis size; replicate small tensors (norm scales, biases) — the
+    all-gather for tiny tensors costs more than it saves."""
+    shape = tuple(path_shape)
+    axis = mesh.shape["model"]
+    if axis <= 1 or int(np.prod(shape)) < min_size:
+        return P()
+    # Prefer the last (output-feature) axis, then the largest divisible one.
+    candidates = sorted(range(len(shape)), key=lambda i: (shape[i] % axis == 0, shape[i]))
+    best = candidates[-1]
+    if shape[best] % axis != 0:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = "model"
+    return P(*spec)
+
+
+def params_shardings(params, mesh: Mesh, min_size: int = 2**16):
+    """NamedSharding pytree for a params (or optimizer-state) tree."""
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, param_partition_spec(np.shape(leaf), mesh, min_size)),
+        params,
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put a host batch with the batch dim sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,78 @@
+"""Autoregressive rollout as a jitted ``lax.scan``.
+
+Behavioral mirror of the reference Trainer's rollout engine
+(/root/reference/scOT/trainer.py:447-603):
+
+- int ``ar_steps`` n: lead time is divided by n and the model is applied n
+  times, feeding the (gradient-stopped) output back as the input;
+- list ``ar_steps``: per-step time is ``lead_time * step_i``;
+- when the model has extra static input channels (num_channels >
+  num_out_channels), those channels of the ORIGINAL input are re-attached to
+  each fed-back prediction;
+- ``output_all_steps`` stacks every intermediate prediction along a new time
+  axis (B, n, C_out, H, W).
+
+The reference detaches between steps (trainer.py:489), i.e. gradients do NOT
+flow through the rollout — replicated with ``stop_gradient``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+StepFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x, time) -> prediction
+
+
+def autoregressive_rollout(
+    step_fn: StepFn,
+    pixel_values: jax.Array,
+    time: jax.Array,
+    ar_steps: Union[int, Sequence[float]],
+    num_out_channels: int,
+    output_all_steps: bool = False,
+) -> jax.Array:
+    """Run the AR rollout. Returns the final prediction (B, C_out, H, W), or
+    all intermediate predictions (B, n, C_out, H, W) if output_all_steps."""
+    c_in = pixel_values.shape[1]
+    has_static = c_in > num_out_channels
+    static = pixel_values[:, num_out_channels:] if has_static else None
+
+    if isinstance(ar_steps, int):
+        step_times = jnp.broadcast_to(time / ar_steps, (ar_steps,) + time.shape)
+    else:
+        factors = jnp.asarray(list(ar_steps), dtype=time.dtype)
+        step_times = factors[:, None] * time[None, :]
+
+    def body(carry, t):
+        pred = step_fn(carry, t)
+        pred = jax.lax.stop_gradient(pred)
+        nxt = jnp.concatenate([pred, static], axis=1) if has_static else pred
+        return nxt, pred if output_all_steps else None
+
+    final, stacked = jax.lax.scan(body, pixel_values, step_times)
+    if output_all_steps:
+        return jnp.swapaxes(stacked, 0, 1)  # (n, B, ...) -> (B, n, ...)
+    return final[:, :num_out_channels]
+
+
+def rollout_loss(
+    step_fn: StepFn,
+    loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    pixel_values: jax.Array,
+    time: jax.Array,
+    labels: jax.Array,
+    ar_steps: Union[int, Sequence[float]],
+    num_out_channels: int,
+):
+    """Mean of per-step losses against the (final) labels, as the reference
+    accumulates during AR prediction (trainer.py:468-523). Returns
+    (loss, final_prediction)."""
+    preds = autoregressive_rollout(
+        step_fn, pixel_values, time, ar_steps, num_out_channels,
+        output_all_steps=True)
+    n = preds.shape[1]
+    losses = [loss_fn(preds[:, i], labels) for i in range(n)]
+    return jnp.mean(jnp.stack(losses)), preds[:, -1]

@@ -1,0 +1,431 @@
+"""SPMD trainer: jitted train/eval steps over a (data, model) mesh, Orbax
+checkpointing with keep-best + resume, early stopping, per-epoch metric
+battery, and the AR-rollout prediction path.
+
+Functional replacement for the reference's HF-Trainer subclass
+(/root/reference/scOT/trainer.py) and the epoch loop HF provides: one jitted
+``train_step`` (loss + grad + AdamW with 4 param groups + cosine schedule +
+global-norm clip), batch sharded over the ``data`` mesh axis (XLA inserts the
+gradient all-reduce over ICI), params optionally sharded over ``model``
+(FSDP-style).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time as _time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import ScOTConfig
+from ..models.scot import ScOT, apply_pixel_mask, scot_loss
+from ..parallel.host import is_primary, process_count, process_index
+from ..parallel.mesh import batch_sharding, make_mesh, params_shardings, replicated
+from .arguments import TrainingArguments
+from .optimizer import build_optimizer
+from .rollout import autoregressive_rollout, rollout_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None  # only for the resnet residual variant
+
+
+def _to_host(x) -> np.ndarray:
+    """Fetch a (possibly sharded) device array fully to every host."""
+    if process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: ScOT,
+        args: TrainingArguments,
+        train_dataset=None,
+        eval_dataset=None,
+        compute_metrics: Optional[Callable[[np.ndarray, np.ndarray], Dict]] = None,
+        mesh=None,
+        variables=None,
+    ):
+        self.model = model
+        self.config: ScOTConfig = model.config
+        self.args = args
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.compute_metrics = compute_metrics
+        self.mesh = mesh if mesh is not None else make_mesh(num_model=args.num_model_shards)
+        self.ar_steps: Union[None, int, Sequence[float]] = None
+        self.output_all_steps = False
+        self._jit_cache: Dict = {}
+        self._log_file = None
+        self._wandb = None
+
+        self.rng = jax.random.PRNGKey(args.seed)
+        if variables is None:
+            variables = self._init_variables()
+        self.state, self.tx = self._make_state(variables)
+
+    # -- setup --------------------------------------------------------------
+    def _init_variables(self):
+        cfg = self.config
+        x = jnp.zeros((1, cfg.num_channels, cfg.image_size, cfg.image_size))
+        t = jnp.zeros((1,))
+        return jax.jit(self.model.init)(self.rng, x, t)
+
+    def _steps_per_epoch(self) -> int:
+        return max(len(self.train_dataset) // self.args.train_batch_size, 1)
+
+    def _make_state(self, variables):
+        a = self.args
+        total_steps = self._steps_per_epoch() * a.num_train_epochs
+        tx = build_optimizer(
+            variables["params"],
+            learning_rate=a.learning_rate,
+            total_steps=max(total_steps, 1),
+            weight_decay=a.weight_decay,
+            lr_scheduler_type=a.lr_scheduler_type,
+            warmup_ratio=a.warmup_ratio,
+            learning_rate_embedding_recovery=a.learning_rate_embedding_recovery,
+            learning_rate_time_embedding=a.learning_rate_time_embedding,
+            adam_beta1=a.adam_beta1, adam_beta2=a.adam_beta2,
+            adam_epsilon=a.adam_epsilon, max_grad_norm=a.max_grad_norm,
+        ) if self.train_dataset is not None else optax.identity()
+
+        params_sh = params_shardings(variables["params"], self.mesh)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), variables["params"], params_sh)
+        opt_state = jax.jit(
+            tx.init, out_shardings=None)(params) if self.train_dataset is not None else ()
+        bs = variables.get("batch_stats")
+        if bs is not None:
+            bs = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), replicated(self.mesh)), bs)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=opt_state, batch_stats=bs)
+        return state, tx
+
+    def set_ar_steps(self, ar_steps=None, output_all_steps: bool = False):
+        """Configure autoregressive prediction (reference trainer.py:447-450)."""
+        self.ar_steps = ar_steps
+        self.output_all_steps = bool(ar_steps is not None and output_all_steps)
+
+    # -- core steps ---------------------------------------------------------
+    def _variables(self, params, batch_stats):
+        v = {"params": params}
+        if batch_stats is not None:
+            v["batch_stats"] = batch_stats
+        return v
+
+    def _loss_and_pred(self, params, batch_stats, batch, rng, train: bool):
+        cfg = self.config
+        mutable = ["batch_stats"] if (batch_stats is not None and train) else False
+        rngs = {"dropout": rng} if train else None
+
+        def fwd(x, t):
+            out = self.model.apply(
+                self._variables(params, batch_stats), x, t,
+                deterministic=not train, rngs=rngs, mutable=mutable)
+            return out if not mutable else out  # (pred, vars) when mutable
+
+        pixel_mask = batch.get("pixel_mask")
+
+        def masked_loss(pred, labels):
+            pred = apply_pixel_mask(pred, labels, pixel_mask)
+            return scot_loss(pred, labels, cfg)
+
+        new_bs = None
+        if self.ar_steps is not None and cfg.use_conditioning and not train:
+            def step_fn(x, t):
+                return self.model.apply(self._variables(params, batch_stats), x, t)
+
+            loss, pred = rollout_loss(
+                step_fn, masked_loss, batch["pixel_values"], batch["time"],
+                batch["labels"], self.ar_steps, cfg.num_out_channels)
+            pred = apply_pixel_mask(pred, batch["labels"], pixel_mask)
+        else:
+            out = fwd(batch["pixel_values"], batch.get("time"))
+            if mutable:
+                pred, updates = out
+                new_bs = updates["batch_stats"]
+            else:
+                pred = out
+            pred = apply_pixel_mask(pred, batch["labels"], pixel_mask)
+            loss = scot_loss(pred, batch["labels"], cfg)
+        return loss, pred, new_bs
+
+    def _train_step(self, state: TrainState, batch, rng):
+        def loss_fn(params):
+            loss, _pred, new_bs = self._loss_and_pred(
+                params, state.batch_stats, batch, rng, train=True)
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            batch_stats=new_bs if new_bs is not None else state.batch_stats)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    def _eval_step(self, state: TrainState, batch):
+        loss, pred, _ = self._loss_and_pred(
+            state.params, state.batch_stats, batch, None, train=False)
+        return loss, pred
+
+    def _jitted(self, name, fn, **jit_kw):
+        key = (name, self.ar_steps if not isinstance(self.ar_steps, list)
+               else tuple(self.ar_steps), self.output_all_steps)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn, **jit_kw)
+        return self._jit_cache[key]
+
+    def _device_batch(self, batch):
+        sh = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        out = {}
+        for k, v in batch.items():
+            if k == "_valid":
+                continue
+            out[k] = jax.device_put(np.asarray(v), sh)
+        return out
+
+    # -- loops --------------------------------------------------------------
+    def train(self, resume_from_checkpoint: Optional[bool] = None):
+        a = self.args
+        if resume_from_checkpoint is None:
+            resume_from_checkpoint = a.resume_from_checkpoint
+        os.makedirs(a.output_dir, exist_ok=True)
+        self._open_logging()
+
+        from ..data.loader import DataLoader
+
+        loader = DataLoader(
+            self.train_dataset, a.train_batch_size, shuffle=True, seed=a.seed,
+            drop_last=True, num_hosts=process_count(), host_id=process_index(),
+            num_workers=a.num_workers)
+
+        start_epoch = 0
+        best_metric = np.inf if not a.greater_is_better else -np.inf
+        patience_left = a.early_stopping_patience
+        if resume_from_checkpoint:
+            restored = self.load_checkpoint(a.output_dir)
+            if restored is not None:
+                start_epoch, best_metric = restored
+
+        train_step = self._jitted("train", self._train_step, donate_argnums=(0,))
+        steps_per_epoch = self._steps_per_epoch()
+        log_every = max(a.logging_steps, 1)
+
+        history = []
+        stop = False
+        for epoch in range(start_epoch, a.num_train_epochs):
+            t_epoch = _time.time()
+            running, n_running = 0.0, 0
+            for bi, batch in enumerate(loader.epoch(epoch)):
+                rng = jax.random.fold_in(self.rng, epoch * steps_per_epoch + bi)
+                dbatch = self._device_batch(batch)
+                self.state, metrics = train_step(self.state, dbatch, rng)
+                if (bi + 1) % log_every == 0:
+                    loss = float(metrics["loss"])
+                    running += loss
+                    n_running += 1
+                    self.log({"epoch": epoch, "step": int(self.state.step),
+                              "loss": loss, "grad_norm": float(metrics["grad_norm"])})
+
+            epoch_metrics = {"epoch": epoch,
+                             "train_time_s": _time.time() - t_epoch,
+                             "train_loss": running / max(n_running, 1)}
+
+            if self.eval_dataset is not None:
+                eval_metrics = self.evaluate()
+                epoch_metrics.update({f"eval_{k}": v for k, v in eval_metrics.items()})
+                key = f"eval_{a.metric_for_best_model}"
+                current = epoch_metrics.get(key, np.inf)
+                improved = (current < best_metric - a.early_stopping_threshold
+                            if not a.greater_is_better
+                            else current > best_metric + a.early_stopping_threshold)
+                if improved:
+                    best_metric = current
+                    patience_left = a.early_stopping_patience
+                    self.save_checkpoint(a.output_dir, epoch, best_metric, best=True)
+                elif a.early_stopping_patience is not None:
+                    patience_left -= 1
+                    if patience_left <= 0:
+                        stop = True
+            self.save_checkpoint(a.output_dir, epoch, best_metric, best=False)
+            self.log(epoch_metrics)
+            history.append(epoch_metrics)
+            if stop:
+                break
+
+        if a.load_best_model_at_end and self.eval_dataset is not None:
+            self._load_best(a.output_dir)
+        return history
+
+    def evaluate(self, dataset=None) -> Dict[str, float]:
+        dataset = dataset if dataset is not None else self.eval_dataset
+        preds, labels, losses = self._predict_arrays(dataset)
+        out = {"loss": float(np.mean(losses))}
+        if self.compute_metrics is not None:
+            out.update(self.compute_metrics(preds, labels))
+        return out
+
+    def _predict_arrays(self, dataset):
+        a = self.args
+        from ..data.loader import DataLoader
+
+        loader = DataLoader(
+            dataset, a.eval_batch_size, shuffle=False, drop_last=False,
+            num_hosts=process_count(), host_id=process_index(),
+            num_workers=a.num_workers)
+        eval_step = self._jitted("eval", self._eval_step)
+        preds, labels, losses = [], [], []
+        for batch in loader.epoch(0):
+            valid = int(batch.pop("_valid"))
+            dbatch = self._device_batch(batch)
+            loss, pred = eval_step(self.state, dbatch)
+            pred = _to_host(pred)
+            lbl = batch["labels"]
+            if process_count() > 1:
+                lbl = _to_host(jax.device_put(lbl))
+            preds.append(pred[:valid] if process_count() == 1 else pred)
+            labels.append(np.asarray(lbl)[:valid] if process_count() == 1 else np.asarray(lbl))
+            losses.append(float(loss))
+        return np.concatenate(preds), np.concatenate(labels), np.asarray(losses)
+
+    def predict(self, dataset, metric_key_prefix: str = ""):
+        """Full prediction pass (honors set_ar_steps). Returns an object with
+        predictions / label_ids / metrics, like HF's PredictionOutput."""
+        preds, labels, losses = self._predict_arrays(dataset)
+        metrics = {f"{metric_key_prefix}loss": float(np.mean(losses))}
+        if self.compute_metrics is not None:
+            for k, v in self.compute_metrics(preds, labels).items():
+                metrics[f"{metric_key_prefix}{k}"] = v
+
+        class PredictionOutput:
+            pass
+
+        out = PredictionOutput()
+        out.predictions = preds
+        out.label_ids = labels
+        out.metrics = metrics
+        return out
+
+    # -- checkpointing ------------------------------------------------------
+    def _ckpt_tree(self, epoch: int, best_metric: float):
+        return {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "batch_stats": (self.state.batch_stats
+                            if self.state.batch_stats is not None else {}),
+            "meta": {"epoch": jnp.asarray(epoch), "best": jnp.asarray(best_metric)},
+        }
+
+    def save_checkpoint(self, out_dir: str, epoch: int, best_metric: float,
+                        best: bool = False):
+        import orbax.checkpoint as ocp
+
+        name = "best" if best else f"checkpoint-{epoch}"
+        path = os.path.abspath(os.path.join(out_dir, name))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, self._ckpt_tree(epoch, best_metric), force=True)
+        if not best and is_primary():
+            # save_total_limit: drop older epoch checkpoints
+            keep = self.args.save_total_limit
+            cks = sorted(
+                (d for d in os.listdir(out_dir) if d.startswith("checkpoint-")),
+                key=lambda d: int(d.split("-")[1]))
+            for d in cks[:-keep] if keep else []:
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+    def load_checkpoint(self, out_dir: str):
+        import orbax.checkpoint as ocp
+
+        cks = sorted(
+            (d for d in os.listdir(out_dir) if d.startswith("checkpoint-"))
+            if os.path.isdir(out_dir) else [],
+            key=lambda d: int(d.split("-")[1]))
+        if not cks:
+            return None
+        path = os.path.abspath(os.path.join(out_dir, cks[-1]))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(path, item=self._ckpt_tree(0, np.inf))
+        self.state = self.state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=restored["step"],
+            batch_stats=(restored["batch_stats"] or None))
+        epoch = int(restored["meta"]["epoch"]) + 1
+        best = float(restored["meta"]["best"])
+        return epoch, best
+
+    def _load_best(self, out_dir: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(out_dir, "best"))
+        if not os.path.isdir(path):
+            return
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(path, item=self._ckpt_tree(0, np.inf))
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=(restored["batch_stats"] or None))
+
+    def save_model(self, out_dir: str):
+        """Save final weights + config (framework-native format)."""
+        import orbax.checkpoint as ocp
+
+        os.makedirs(out_dir, exist_ok=True)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(os.path.join(out_dir, "model")),
+                       {"params": self.state.params,
+                        "batch_stats": self.state.batch_stats or {}},
+                       force=True)
+        if is_primary():
+            with open(os.path.join(out_dir, "config.json"), "w") as f:
+                f.write(self.config.to_json())
+
+    # -- logging ------------------------------------------------------------
+    def _open_logging(self):
+        a = self.args
+        if not is_primary() or a.report_to == "none":
+            return
+        if a.report_to == "jsonl":
+            self._log_file = open(os.path.join(a.output_dir, "logs.jsonl"), "a")
+        elif a.report_to == "wandb":
+            try:
+                import wandb
+
+                self._wandb = wandb
+                if wandb.run is None:
+                    wandb.init(name=a.run_name, config=dataclass_dict(a))
+            except ImportError:
+                self._log_file = open(os.path.join(a.output_dir, "logs.jsonl"), "a")
+
+    def log(self, metrics: Dict):
+        if not is_primary():
+            return
+        if self._wandb is not None:
+            self._wandb.log(metrics)
+        if self._log_file is not None:
+            self._log_file.write(json.dumps(metrics) + "\n")
+            self._log_file.flush()
+
+
+def dataclass_dict(args) -> dict:
+    import dataclasses
+
+    return dataclasses.asdict(args)

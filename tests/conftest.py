@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-device virtual CPU platform so sharding
+tests exercise real multi-device paths without TPU hardware.
+
+Note: the environment's sitecustomize registers a remote TPU ("axon") PJRT
+plugin and force-sets jax_platforms via jax.config, so setting the
+JAX_PLATFORMS env var is not enough — we must override the config after
+import (before any backend is initialized)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
