@@ -1,0 +1,117 @@
+"""Benchmark: ScOT-B pretraining step throughput on one TPU chip.
+
+Measures the full training step (fwd + bwd + AdamW with the 4-group optimizer,
+bf16 compute / fp32 params) on the flagship configuration — ScOT-B, 128x128,
+4-channel NS-style input, global batch 32 — and prints ONE JSON line:
+  {"metric": ..., "value": samples/sec, "unit": ..., "vs_baseline": ...}
+
+vs_baseline reports measured model FLOP utilization (MFU) relative to the
+45%-MFU north-star target from BASELINE.md (vs_baseline = MFU / 0.45).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from poseidon_tpu import ScOT, make_config, scot_loss
+    from poseidon_tpu.models.scot import apply_pixel_mask
+    from poseidon_tpu.training.optimizer import build_optimizer
+    from poseidon_tpu.utils.init import enable_compilation_cache, shape_variables
+
+    enable_compilation_cache()
+
+    batch = 32
+    cfg = make_config("B", image_size=128, num_channels=4, num_out_channels=4,
+                      channel_slice_list=(0, 1, 3, 4), use_conditioning=True)
+    model = ScOT(config=cfg, dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, 4, 128, 128), jnp.float32)
+    t = jnp.full((batch,), 0.5, jnp.float32)
+    labels = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, 128, 128), jnp.float32)
+    pixel_mask = jnp.zeros((batch, 4), bool).at[:, 3].set(True)
+
+    # Throughput doesn't depend on parameter values: materialize the variable
+    # tree from eval_shape (instant) instead of compiling the init graph.
+    variables = shape_variables(model, x, t, fill="normal")
+    params = variables["params"]
+    tx = build_optimizer(
+        params, learning_rate=1e-4, total_steps=10_000, weight_decay=1e-6,
+        lr_scheduler_type="cosine", warmup_ratio=0.0, max_grad_norm=5.0)
+    opt_state = jax.jit(tx.init)(params)
+
+    def train_step(params, opt_state, x, t, labels):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x, t)
+            pred = apply_pixel_mask(pred, labels, pixel_mask)
+            return scot_loss(pred, labels, cfg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    import sys
+
+    t0 = time.perf_counter()
+    print(f"# lowering+compiling train step...", file=sys.stderr, flush=True)
+    compiled = step.lower(params, opt_state, x, t, labels).compile()
+    print(f"# compile done in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    try:
+        flops_per_step = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_step = float("nan")
+    print(f"# cost analysis done", file=sys.stderr, flush=True)
+
+    # Warmup (3 steps).
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, x, t, labels)
+    jax.block_until_ready(loss)
+    print(f"# warmup done", file=sys.stderr, flush=True)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, x, t, labels)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    step_time = dt / iters
+    samples_per_sec = batch / step_time
+
+    # v5e peak: 197 TFLOP/s bf16 per chip.
+    peak = 197e12
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown")
+    mfu = (flops_per_step / step_time) / peak if np.isfinite(flops_per_step) else float("nan")
+    vs_baseline = mfu / 0.45 if np.isfinite(mfu) else 0.0
+
+    print(json.dumps({
+        "metric": "samples_per_sec_per_chip_scot_b_pretrain",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "extra": {
+            "step_time_ms": round(step_time * 1e3, 2),
+            "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
+            "flops_per_step": flops_per_step,
+            "batch": batch,
+            "device": str(kind),
+            "loss": float(loss),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

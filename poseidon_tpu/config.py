@@ -51,6 +51,9 @@ class ScOTConfig:
     # Predict the residual w.r.t. the input instead of the full state; the
     # reference forces this off unless conditioning is on (model.py:120-122).
     learn_residual: bool = False
+    # Attention implementation: "xla" (pure jnp, XLA-fused) or "pallas"
+    # (fused VMEM-resident TPU kernel; falls back to interpret mode off-TPU).
+    attention_impl: str = "xla"
 
     def __post_init__(self):
         object.__setattr__(self, "depths", tuple(self.depths))

@@ -121,6 +121,7 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
     initializer_range: float = 0.02
+    impl: str = "xla"  # "xla" | "pallas"
 
     @nn.compact
     def __call__(
@@ -143,38 +144,53 @@ class WindowAttention(nn.Module):
         k = k.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
 
-        # Cosine attention in fp32: L2-normalize q and k along the head dim
-        # (torch F.normalize semantics: x / max(||x||, 1e-12)).
-        qf = q.astype(jnp.float32)
-        kf = k.astype(jnp.float32)
-        qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
-        kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
-        scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf)
-
         logit_scale = self.param(
             "logit_scale",
             nn.initializers.constant(math.log(10.0)),
             (heads, 1, 1), jnp.float32,
         )
-        scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
-        scores = scores * scale[None]
+        bias = self._position_bias()  # (heads, T, T) fp32
 
-        scores = scores + self._position_bias()[None]
+        use_pallas = (self.impl == "pallas"
+                      and not (self.attn_drop > 0.0 and not deterministic))
+        if use_pallas:
+            from ..ops.window_attention import fused_window_attention
 
-        if mask is not None:
-            nw = mask.shape[0]
-            m = jnp.asarray(mask, dtype=jnp.float32)
-            # The HF reference adds the mask twice (modeling_swinv2.py:513-520);
-            # a single 2x add reproduces the exact pre-softmax logits.
-            scores = scores.reshape(bnw // nw, nw, heads, t, t) + 2.0 * m[None, :, None]
-            scores = scores.reshape(bnw, heads, t, t)
+            scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))[:, 0, 0]
+            if mask is None:
+                m = jnp.zeros((1, t, t), jnp.float32)
+            else:
+                # The HF reference adds the shift mask twice
+                # (modeling_swinv2.py:513-520); bake the 2x in.
+                m = 2.0 * jnp.asarray(mask, jnp.float32)
+            out = fused_window_attention(q, k, v, bias, m, scale)
+        else:
+            # Cosine attention in fp32: L2-normalize q and k along the head dim
+            # (torch F.normalize semantics: x / max(||x||, 1e-12)).
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+            kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+            scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf)
 
-        probs = jax.nn.softmax(scores, axis=-1)
-        if self.attn_drop > 0.0 and not deterministic:
-            probs = nn.Dropout(self.attn_drop)(probs, deterministic=False)
-        probs = probs.astype(v.dtype)
+            scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
+            scores = scores * scale[None]
+            scores = scores + bias[None]
 
-        out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+            if mask is not None:
+                nw = mask.shape[0]
+                m = jnp.asarray(mask, dtype=jnp.float32)
+                # Mask added twice in the HF reference; a single 2x add
+                # reproduces the exact pre-softmax logits.
+                scores = scores.reshape(bnw // nw, nw, heads, t, t) + 2.0 * m[None, :, None]
+                scores = scores.reshape(bnw, heads, t, t)
+
+            probs = jax.nn.softmax(scores, axis=-1)
+            if self.attn_drop > 0.0 and not deterministic:
+                probs = nn.Dropout(self.attn_drop)(probs, deterministic=False)
+            probs = probs.astype(v.dtype)
+            out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+
         out = out.transpose(0, 2, 1, 3).reshape(bnw, t, c)
         out = dense(self.dim, name="proj")(out)
         if self.proj_drop > 0.0 and not deterministic:

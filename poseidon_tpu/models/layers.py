@@ -70,7 +70,10 @@ class ConditionalLayerNorm(nn.Module):
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+        # E[x^2] - mean^2 like the reference (model.py:151-152), but clamped:
+        # the cancellation can go slightly negative for near-constant features,
+        # and rsqrt(negative) would NaN.
+        var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
 
         t = time.reshape(-1, 1).astype(jnp.float32)

@@ -126,6 +126,7 @@ class SwinBlock(nn.Module):
             proj_drop=cfg.attention_probs_dropout_prob,
             dtype=self.dtype,
             initializer_range=cfg.initializer_range,
+            impl=cfg.attention_impl,
             name="attn",
         )(windows, mask, deterministic)
 

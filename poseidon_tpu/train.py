@@ -1,0 +1,274 @@
+"""Training / finetuning CLI.
+
+Capability mirror of /root/reference/scOT/train.py: YAML/JSON config with the
+same key set (dataset, num_trajectories, model_name or explicit architecture
+keys, lr, lr_embedding_recovery, lr_time_embedding, weight_decay,
+lr_scheduler, warmup_ratio, early_stopping_patience, num_epochs, batch_size,
+max_grad_norm), MODEL_MAP named sizes, dataset-shape-derived model config,
+finetuning with embedding/recovery replacement, and the post-training test
+protocol (direct + autoregressive, in/out-of-distribution).
+
+Usage:
+    python -m poseidon_tpu.train --config configs/run.yaml \
+        --data_path /data --checkpoint_path /ckpts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from .config import MODEL_MAP, ScOTConfig
+from .data.base import BaseTimeDataset, ConcatDataset, TimeWrapper
+from .data.registry import get_dataset
+from .metrics import compute_channel_group_metrics
+from .models.scot import ScOT
+from .parallel.host import broadcast_object, is_primary
+from .training import Trainer, TrainingArguments
+from .utils.params import get_num_parameters, get_num_parameters_no_embed
+
+SEED = 0
+
+
+def read_cli(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """Shared CLI flags (mirror of reference utils.py:4-82)."""
+    parser.add_argument("--config", type=str, required=True,
+                        help="Path to YAML/JSON config file or a JSON string")
+    parser.add_argument("--json_config", action="store_true",
+                        help="Whether --config is a JSON string")
+    parser.add_argument("--wandb_run_name", type=str, default=None)
+    parser.add_argument("--wandb_project_name", type=str, default="scOT")
+    parser.add_argument("--max_num_train_time_steps", type=int, default=None)
+    parser.add_argument("--train_time_step_size", type=int, default=None)
+    parser.add_argument("--train_small_time_transition", action="store_true",
+                        help="Train only next-step transitions")
+    parser.add_argument("--data_path", type=str, required=True)
+    parser.add_argument("--checkpoint_path", type=str, required=True)
+    parser.add_argument("--disable_tqdm", action="store_true")
+    parser.add_argument("--push_to_hf_hub", type=str, default=None)
+    parser.add_argument("--just_velocities", action="store_true")
+    parser.add_argument("--move_data", type=str, default=None)
+    return parser
+
+
+def load_config(params) -> dict:
+    if params.json_config:
+        return json.loads(params.config)
+    with open(params.config) as f:
+        if params.config.endswith(".json"):
+            raw = json.load(f)
+        else:
+            import yaml
+
+            raw = yaml.safe_load(f)
+    # Accept W&B-style {key: {value: ...}} nesting.
+    return {k: (v["value"] if isinstance(v, dict) and set(v) == {"value"} else v)
+            for k, v in raw.items()}
+
+
+def build_model_config(config: dict, dataset, time_involved: bool) -> ScOTConfig:
+    """Dataset-shape-derived model config (reference train.py:247-275)."""
+    return ScOTConfig(
+        image_size=dataset.resolution,
+        patch_size=config["patch_size"],
+        num_channels=dataset.input_dim,
+        num_out_channels=dataset.output_dim,
+        embed_dim=config["embed_dim"],
+        depths=tuple(config["depths"]),
+        num_heads=tuple(config["num_heads"]),
+        skip_connections=tuple(config["skip_connections"]),
+        window_size=config["window_size"],
+        mlp_ratio=config["mlp_ratio"],
+        qkv_bias=True,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0,
+        hidden_act="gelu",
+        use_absolute_embeddings=False,
+        initializer_range=0.02,
+        layer_norm_eps=1e-5,
+        p=1,
+        channel_slice_list_normalized_loss=tuple(dataset.channel_slice_list),
+        residual_model="convnext",
+        use_conditioning=time_involved,
+        learn_residual=False,
+    )
+
+
+def setup_datasets(config: dict, params):
+    """Train/val datasets with the CLI's time-restriction flags."""
+    kwargs = {}
+    if params.just_velocities and "incompressible" in str(config["dataset"]):
+        kwargs["just_velocities"] = True
+    if params.move_data is not None:
+        kwargs["move_to_local_scratch"] = params.move_data
+    if params.max_num_train_time_steps is not None:
+        kwargs["max_num_time_steps"] = params.max_num_train_time_steps
+    if params.train_time_step_size is not None:
+        kwargs["time_step_size"] = params.train_time_step_size
+    if params.train_small_time_transition:
+        kwargs["allowed_time_transitions"] = [1]
+
+    train_ds = get_dataset(config["dataset"], which="train",
+                           num_trajectories=config["num_trajectories"],
+                           data_path=params.data_path, **kwargs)
+    val_ds = get_dataset(config["dataset"], which="val",
+                         num_trajectories=config["num_trajectories"],
+                         data_path=params.data_path, **kwargs)
+    return train_ds, val_ds
+
+
+def is_time_involved(dataset) -> bool:
+    return isinstance(dataset, BaseTimeDataset) or (
+        isinstance(dataset, ConcatDataset)
+        and isinstance(dataset.datasets[0], BaseTimeDataset))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train (or finetune) scOT on TPU.")
+    parser = read_cli(parser)
+    parser.add_argument("--finetune_from", type=str, default=None,
+                        help="Path to a pretrained checkpoint dir (HF layout)")
+    parser.add_argument("--replace_embedding_recovery", action="store_true",
+                        help="Replace embeddings/recovery when channels differ")
+    parser.add_argument("--resume_training", action="store_true")
+    params = parser.parse_args(argv)
+
+    np.random.seed(SEED)
+    config = load_config(params)
+    if "model_name" in config:
+        config = {**config, **MODEL_MAP[config["model_name"]]}
+
+    # checkpoint dir convention <ckpt>/<project>/<run> (train.py:152-169)
+    run_name = params.wandb_run_name or f"run-{np.random.randint(1 << 30):08x}"
+    ckpt_dir = os.path.join(params.checkpoint_path, params.wandb_project_name, run_name)
+    ckpt_dir = broadcast_object(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    train_ds, val_ds = setup_datasets(config, params)
+    time_involved = is_time_involved(train_ds)
+
+    model_config = build_model_config(config, train_ds, time_involved)
+
+    args = TrainingArguments(
+        output_dir=ckpt_dir,
+        train_batch_size=config["batch_size"],
+        eval_batch_size=config["batch_size"],
+        num_train_epochs=config["num_epochs"],
+        learning_rate=config["lr"],
+        learning_rate_embedding_recovery=(
+            None if (params.finetune_from is None or "lr_embedding_recovery" not in config)
+            else config["lr_embedding_recovery"]),
+        learning_rate_time_embedding=(
+            None if (params.finetune_from is None or "lr_time_embedding" not in config)
+            else config["lr_time_embedding"]),
+        weight_decay=config["weight_decay"],
+        lr_scheduler_type=config.get("lr_scheduler", "cosine"),
+        warmup_ratio=config.get("warmup_ratio", 0.0),
+        max_grad_norm=config.get("max_grad_norm", 1.0),
+        early_stopping_patience=config.get("early_stopping_patience"),
+        seed=SEED,
+        report_to="wandb" if params.wandb_run_name else "jsonl",
+        run_name=run_name,
+        resume_from_checkpoint=params.resume_training,
+    )
+
+    variables = None
+    if params.finetune_from is not None:
+        from .hub import from_pretrained
+
+        _, variables, replaced = from_pretrained(
+            params.finetune_from, config=model_config,
+            ignore_mismatched_sizes=True)
+        if is_primary() and replaced:
+            print(f"Re-initialized {len(replaced)} mismatched tensors "
+                  f"(embedding/recovery replacement)")
+    model = ScOT(config=model_config, dtype=_dtype(args.compute_dtype))
+
+    channel_slices = list(train_ds.channel_slice_list)
+    channel_names = list(train_ds.printable_channel_description)
+
+    def metrics_fn(preds, labels):
+        return compute_channel_group_metrics(preds, labels, channel_slices, channel_names)
+
+    trainer = Trainer(model, args, train_dataset=train_ds, eval_dataset=val_ds,
+                      compute_metrics=metrics_fn, variables=variables)
+
+    if is_primary():
+        n = get_num_parameters(trainer.state.params)
+        n_no = get_num_parameters_no_embed(trainer.state.params)
+        print(f"Model size: {n}")
+        print(f"Model size without embeddings: {n_no}")
+
+    trainer.train(resume_from_checkpoint=params.resume_training)
+    trainer.save_model(ckpt_dir)
+
+    # ----- post-training test protocol (reference train.py:415-537) --------
+    do_test = (params.max_num_train_time_steps is None
+               and params.train_time_step_size is None
+               and not params.train_small_time_transition
+               and ".time" not in str(config["dataset"]))
+    if not do_test:
+        return trainer
+
+    test_kwargs = {}
+    if params.just_velocities and "incompressible" in str(config["dataset"]):
+        test_kwargs["just_velocities"] = True
+    if params.move_data is not None:
+        test_kwargs["move_to_local_scratch"] = params.move_data
+    out_kwargs = dict(test_kwargs)
+    if time_involved:
+        test_kwargs.update(max_num_time_steps=1, time_step_size=14,
+                           allowed_time_transitions=[1])
+        out_kwargs.update(max_num_time_steps=1, time_step_size=20,
+                          allowed_time_transitions=[1])
+    if "RayleighTaylor" in str(config["dataset"]):
+        test_kwargs.update(max_num_time_steps=1, time_step_size=7,
+                           allowed_time_transitions=[1])
+        out_kwargs.update(max_num_time_steps=1, time_step_size=10,
+                          allowed_time_transitions=[1])
+
+    test_ds = get_dataset(config["dataset"], which="test",
+                          num_trajectories=config["num_trajectories"],
+                          data_path=params.data_path, **test_kwargs)
+    try:
+        out_ds = get_dataset(str(config["dataset"]) + ".out", which="test",
+                             num_trajectories=config["num_trajectories"],
+                             data_path=params.data_path, **out_kwargs)
+    except Exception:
+        out_ds = None
+
+    results = {}
+    pred = trainer.predict(test_ds, metric_key_prefix="test/")
+    results.update(pred.metrics)
+    if out_ds is not None:
+        pred = trainer.predict(out_ds, metric_key_prefix="test_out_dist/")
+        results.update(pred.metrics)
+    if time_involved and test_kwargs["time_step_size"] // 2 > 0:
+        trainer.set_ar_steps(test_kwargs["time_step_size"] // 2)
+        pred = trainer.predict(test_ds, metric_key_prefix="test/ar/")
+        results.update(pred.metrics)
+        if out_ds is not None:
+            trainer.set_ar_steps(out_kwargs["time_step_size"] // 2)
+            pred = trainer.predict(out_ds, metric_key_prefix="test_out_dist/ar/")
+            results.update(pred.metrics)
+        trainer.set_ar_steps(None)
+
+    if is_primary():
+        trainer.log(results)
+        print(json.dumps(results, indent=2, default=float))
+    return trainer
+
+
+def _dtype(name: str):
+    import jax.numpy as jnp
+
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+if __name__ == "__main__":
+    main()

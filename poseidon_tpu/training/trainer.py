@@ -90,7 +90,8 @@ class Trainer:
 
     def _make_state(self, variables):
         a = self.args
-        total_steps = self._steps_per_epoch() * a.num_train_epochs
+        total_steps = (self._steps_per_epoch() * a.num_train_epochs
+                       if self.train_dataset is not None else 1)
         tx = build_optimizer(
             variables["params"],
             learning_rate=a.learning_rate,
@@ -238,10 +239,10 @@ class Trainer:
                 rng = jax.random.fold_in(self.rng, epoch * steps_per_epoch + bi)
                 dbatch = self._device_batch(batch)
                 self.state, metrics = train_step(self.state, dbatch, rng)
+                loss = float(metrics["loss"])
+                running += loss
+                n_running += 1
                 if (bi + 1) % log_every == 0:
-                    loss = float(metrics["loss"])
-                    running += loss
-                    n_running += 1
                     self.log({"epoch": epoch, "step": int(self.state.step),
                               "loss": loss, "grad_norm": float(metrics["grad_norm"])})
 

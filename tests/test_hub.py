@@ -1,0 +1,82 @@
+"""Checkpoint-bridge tests: loading a reference-format (PyTorch) checkpoint
+directory, including the finetune embedding/recovery replacement semantics."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+
+try:
+    from scOT.model import ScOT as TorchScOT, ScOTConfig as TorchScOTConfig
+    HAVE_REF = True
+except Exception:  # pragma: no cover
+    HAVE_REF = False
+
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference model unavailable")
+
+import jax.numpy as jnp
+
+from poseidon_tpu.hub import from_pretrained
+
+
+def save_torch_checkpoint(tmp_path, num_channels=3, num_out_channels=2):
+    torch.manual_seed(0)
+    tcfg = TorchScOTConfig(
+        image_size=32, patch_size=4, num_channels=num_channels,
+        num_out_channels=num_out_channels, embed_dim=16,
+        depths=[2, 2], num_heads=[2, 2], skip_connections=[1, 0],
+        window_size=4, mlp_ratio=2.0, qkv_bias=True,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0, hidden_act="gelu", use_absolute_embeddings=False,
+        initializer_range=0.02, layer_norm_eps=1e-5, p=1,
+        channel_slice_list_normalized_loss=[0, 1, 2],
+        residual_model="convnext", use_conditioning=True, learn_residual=False)
+    tmodel = TorchScOT(tcfg).eval()
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    torch.save(tmodel.state_dict(), d / "pytorch_model.bin")
+    with open(d / "config.json", "w") as f:
+        json.dump(tcfg.to_dict(), f)
+    return str(d), tmodel
+
+
+class TestFromPretrained:
+    def test_exact_load(self, tmp_path):
+        path, tmodel = save_torch_checkpoint(tmp_path)
+        model, variables, replaced = from_pretrained(path)
+        assert replaced == []
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+        t = np.asarray([0.4], np.float32)
+        with torch.no_grad():
+            tout = tmodel(pixel_values=torch.from_numpy(x),
+                          time=torch.from_numpy(t)).output.numpy()
+        jout = np.asarray(model.apply(variables, jnp.asarray(x), jnp.asarray(t)))
+        np.testing.assert_allclose(jout, tout, atol=2e-5, rtol=1e-4)
+
+    def test_embedding_recovery_replacement(self, tmp_path):
+        path, _ = save_torch_checkpoint(tmp_path, num_channels=3, num_out_channels=2)
+        # new task has different channel counts
+        from poseidon_tpu.hub import load_config
+
+        new_cfg = load_config(path).replace(num_channels=5, num_out_channels=4)
+        model, variables, replaced = from_pretrained(
+            path, config=new_cfg, ignore_mismatched_sizes=True)
+        # exactly the channel-shaped tensors got re-initialized
+        assert any("embeddings/projection" in r for r in replaced)
+        assert any("patch_recovery" in r for r in replaced)
+        assert not any(r.startswith("encoder") for r in replaced)
+        y = model.apply(variables, jnp.zeros((1, 5, 32, 32)), jnp.ones((1,)))
+        assert y.shape == (1, 4, 32, 32)
+
+    def test_mismatch_without_flag_raises(self, tmp_path):
+        path, _ = save_torch_checkpoint(tmp_path)
+        from poseidon_tpu.hub import load_config
+
+        new_cfg = load_config(path).replace(num_channels=5)
+        with pytest.raises(ValueError):
+            from_pretrained(path, config=new_cfg, ignore_mismatched_sizes=False)

@@ -1,0 +1,92 @@
+"""Pallas kernel numerics tests (interpreter mode on CPU; same code path that
+compiles on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poseidon_tpu.ops.window_attention import (
+    _forward_reference,
+    fused_window_attention,
+)
+
+
+def make_inputs(n=8, h=3, t=64, d=32, nw=4, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(n, h, t, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(n, h, t, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(n, h, t, d)), dtype)
+    bias = jnp.asarray(rng.normal(size=(h, t, t)) * 2.0, jnp.float32)
+    mask_np = np.zeros((nw, t, t), np.float32)
+    mask_np[1, : t // 2, t // 2:] = -200.0
+    mask_np[1, t // 2:, : t // 2] = -200.0
+    mask = jnp.asarray(mask_np)
+    scale = jnp.asarray(rng.uniform(1.0, 50.0, size=(h,)), jnp.float32)
+    return q, k, v, bias, mask, scale
+
+
+class TestFusedWindowAttention:
+    def test_matches_reference(self):
+        args = make_inputs()
+        out = fused_window_attention(*args)
+        ref = _forward_reference(*args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_mask_blocks_attention(self):
+        q, k, v, bias, mask, scale = make_inputs(n=4, nw=4)
+        out = fused_window_attention(q, k, v, jnp.zeros_like(bias), mask, scale)
+        # window 1 has a block-diagonal mask: tokens in the first half must not
+        # attend to the second half. Perturbing masked-out values changes nothing.
+        v2 = v.at[1, :, v.shape[2] // 2:, :].set(0.0)
+        out2 = fused_window_attention(q, k, v2, jnp.zeros_like(bias), mask, scale)
+        np.testing.assert_allclose(np.asarray(out[1, :, : v.shape[2] // 2]),
+                                   np.asarray(out2[1, :, : v.shape[2] // 2]),
+                                   atol=1e-6)
+
+    def test_grad_matches_reference(self):
+        args = make_inputs(n=4, t=32)
+
+        def loss_fused(q, k, v, bias, mask, scale):
+            return jnp.sum(fused_window_attention(q, k, v, bias, mask, scale) ** 2)
+
+        def loss_ref(q, k, v, bias, mask, scale):
+            return jnp.sum(_forward_reference(q, k, v, bias, mask, scale) ** 2)
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 5))(*args)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 5))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+
+    def test_bf16(self):
+        args = make_inputs(dtype=jnp.bfloat16)
+        out = fused_window_attention(*args)
+        ref = _forward_reference(*args)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+
+
+class TestModelWithPallasAttention:
+    def test_forward_matches_xla_path(self):
+        from poseidon_tpu import ScOT, make_config
+
+        kw = dict(image_size=32, patch_size=4, num_channels=3, num_out_channels=2,
+                  embed_dim=16, depths=(2, 2), num_heads=(2, 2),
+                  skip_connections=(1, 0), window_size=4, mlp_ratio=2.0,
+                  channel_slice_list=(0, 1, 2), use_conditioning=True)
+        cfg_x = make_config("T", **kw)
+        cfg_p = cfg_x.replace(attention_impl="pallas")
+        m_x = ScOT(config=cfg_x)
+        m_p = ScOT(config=cfg_p)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)), jnp.float32)
+        t = jnp.asarray([0.3, 0.9])
+        variables = m_x.init(jax.random.PRNGKey(0), x, t)
+        y_x = m_x.apply(variables, x, t)
+        y_p = m_p.apply(variables, x, t)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                   atol=2e-5, rtol=1e-4)

@@ -1,0 +1,212 @@
+"""End-to-end training-loop tests on a synthetic dataset (8 virtual CPU
+devices via conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poseidon_tpu import ScOT, make_config
+from poseidon_tpu.metrics import compute_channel_group_metrics
+from poseidon_tpu.training import Trainer, TrainingArguments, label_params
+from poseidon_tpu.training.optimizer import make_lr_schedule
+from poseidon_tpu.training.rollout import autoregressive_rollout
+
+
+class SyntheticTimeDataset:
+    """Identity-with-decay operator: label = input * exp(-t). 2 channels, the
+    second is a static field copied into labels (like wave's c-channel)."""
+
+    def __init__(self, n=32, res=16, channels=2):
+        rng = np.random.default_rng(0)
+        self.x = rng.normal(size=(n, channels, res, res)).astype(np.float32)
+        self.t = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
+        self.resolution = res
+        self.input_dim = channels
+        self.output_dim = channels
+        self.channel_slice_list = [0, 1, 2]
+        self.printable_channel_description = ["u", "c"]
+
+    def __len__(self):
+        return len(self.x)
+
+    def __getitem__(self, i):
+        x = self.x[i]
+        y = x.copy()
+        y[0] = x[0] * np.exp(-self.t[i])
+        return {"pixel_values": x, "labels": y, "time": self.t[i]}
+
+
+def tiny_cfg(**kw):
+    base = dict(image_size=16, patch_size=2, num_channels=2, num_out_channels=2,
+                embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+                skip_connections=(1, 0), window_size=4, mlp_ratio=2.0,
+                channel_slice_list=(0, 1, 2), use_conditioning=True)
+    base.update(kw)
+    return make_config("T", **base)
+
+
+def make_trainer(tmp_path, **args_kw):
+    cfg = tiny_cfg()
+    model = ScOT(config=cfg)
+    ds = SyntheticTimeDataset()
+    defaults = dict(
+        output_dir=str(tmp_path), train_batch_size=8, eval_batch_size=8,
+        num_train_epochs=2, learning_rate=1e-3, weight_decay=1e-6,
+        max_grad_norm=5.0, compute_dtype="float32", logging_steps=1,
+        num_workers=2)
+    defaults.update(args_kw)
+    args = TrainingArguments(**defaults)
+    metrics_fn = lambda p, l: compute_channel_group_metrics(
+        p, l, ds.channel_slice_list, ds.printable_channel_description)
+    return Trainer(model, args, train_dataset=ds, eval_dataset=ds,
+                   compute_metrics=metrics_fn)
+
+
+class TestOptimizerGrouping:
+    def _labels(self, use_emb, use_time):
+        cfg = tiny_cfg()
+        model = ScOT(config=cfg)
+        x = jnp.zeros((1, 2, 16, 16))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+        return label_params(variables["params"], use_emb, use_time), variables
+
+    def test_four_groups(self):
+        labels, variables = self._labels(True, True)
+        flat = {"/".join(str(getattr(k, "key", k)) for k in p): v
+                for p, v in jax.tree_util.tree_flatten_with_path(labels)[0]}
+        # embedding + patch recovery params -> embeddings group
+        assert flat["embeddings/projection/kernel"] == "embeddings"
+        assert flat["embed_norm/cond_scale/kernel"] == "embeddings"  # embeddings rule wins
+        assert flat["patch_recovery/projection/kernel"] == "embeddings"
+        # CLN params elsewhere -> time_embedding
+        assert flat["encoder/stage_0_block_0/norm_attn/cond_scale/kernel"] == "time_embedding"
+        assert flat["encoder/stage_0_block_0/norm_attn/cond_scale/bias"] == "time_embedding"
+        # plain weights -> decay; biases -> no_decay
+        assert flat["encoder/stage_0_block_0/mlp_fc1/kernel"] == "decay"
+        assert flat["encoder/stage_0_block_0/mlp_fc1/bias"] == "no_decay"
+        # logit_scale and layer_scale count as decay (not bias, not norm)
+        assert flat["encoder/stage_0_block_0/attn/logit_scale"] == "decay"
+        assert flat["residual_0_0/layer_scale"] == "decay"
+
+    def test_no_extra_groups(self):
+        labels, _ = self._labels(False, False)
+        vals = set(jax.tree.leaves(labels))
+        assert vals <= {"decay", "no_decay"}
+
+    def test_time_only(self):
+        labels, _ = self._labels(False, True)
+        flat = {"/".join(str(getattr(k, "key", k)) for k in p): v
+                for p, v in jax.tree_util.tree_flatten_with_path(labels)[0]}
+        # without the embeddings group, embed CLN params fall to time_embedding
+        assert flat["embed_norm/cond_scale/kernel"] == "time_embedding"
+
+
+class TestSchedules:
+    def test_cosine(self):
+        s = make_lr_schedule("cosine", 1e-3, 100, warmup_ratio=0.1)
+        assert float(s(0)) == 0.0
+        np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-6)
+        assert float(s(100)) < 1e-5
+
+    def test_linear(self):
+        s = make_lr_schedule("linear", 1e-3, 100, warmup_ratio=0.0)
+        np.testing.assert_allclose(float(s(0)), 1e-3, rtol=1e-6)
+        np.testing.assert_allclose(float(s(50)), 5e-4, rtol=1e-5)
+
+    def test_constant(self):
+        s = make_lr_schedule("constant", 1e-3, 100)
+        np.testing.assert_allclose(float(s(77)), 1e-3)
+
+
+class TestTrainLoop:
+    def test_loss_decreases_and_checkpoints(self, tmp_path):
+        trainer = make_trainer(tmp_path, num_train_epochs=3)
+        history = trainer.train()
+        assert len(history) == 3
+        assert history[-1]["train_loss"] < history[0]["train_loss"]
+        assert "eval_loss" in history[-1]
+        assert "eval_mean_relative_l1_error" in history[-1]
+        # checkpoints exist: best + last epoch only (save_total_limit=1)
+        names = sorted(p.name for p in tmp_path.iterdir())
+        assert "best" in names
+        assert sum(n.startswith("checkpoint-") for n in names) == 1
+
+    def test_resume(self, tmp_path):
+        trainer = make_trainer(tmp_path, num_train_epochs=2)
+        trainer.train()
+        step_before = int(trainer.state.step)
+        trainer2 = make_trainer(tmp_path, num_train_epochs=3)
+        out = trainer2.load_checkpoint(str(tmp_path))
+        assert out is not None
+        assert int(trainer2.state.step) == step_before
+
+    def test_early_stopping(self, tmp_path):
+        trainer = make_trainer(tmp_path, num_train_epochs=50,
+                               early_stopping_patience=1, learning_rate=0.0)
+        history = trainer.train()
+        # lr=0 -> no improvement after first epoch -> stops quickly
+        assert len(history) <= 3
+
+    def test_predict_shapes(self, tmp_path):
+        trainer = make_trainer(tmp_path)
+        ds = trainer.eval_dataset
+        out = trainer.predict(ds, metric_key_prefix="t/")
+        assert out.predictions.shape == (len(ds), 2, 16, 16)
+        assert out.label_ids.shape == out.predictions.shape
+        assert "t/loss" in out.metrics
+
+
+class TestRollout:
+    def test_static_channel_reattach(self):
+        # step_fn returns input state decayed; static channel must be re-fed
+        def step_fn(x, t):
+            return x[:, :1] * 0.5
+
+        x = np.ones((2, 2, 4, 4), np.float32)
+        x[:, 1] = 7.0  # static channel
+        out = autoregressive_rollout(step_fn, jnp.asarray(x), jnp.ones((2,)), 3,
+                                     num_out_channels=1)
+        np.testing.assert_allclose(np.asarray(out), 0.125)
+
+    def test_time_division(self):
+        # accumulating +dt for 4 steps must reconstruct the full lead time
+        out = autoregressive_rollout(lambda x, t: x + t[:, None, None, None],
+                                     jnp.zeros((1, 1, 2, 2)), jnp.asarray([0.8]), 4, 1)
+        np.testing.assert_allclose(np.asarray(out), 0.8, rtol=1e-6)
+
+    def test_output_all_steps(self):
+        out = autoregressive_rollout(lambda x, t: x * 0.5,
+                                     jnp.ones((2, 1, 2, 2)), jnp.ones((2,)), 3, 1,
+                                     output_all_steps=True)
+        assert out.shape == (2, 3, 1, 2, 2)
+        np.testing.assert_allclose(np.asarray(out[:, -1]), 0.125)
+
+    def test_list_mode_times(self):
+        out = autoregressive_rollout(
+            lambda x, t: jnp.broadcast_to(t[:, None, None, None], x.shape),
+            jnp.zeros((1, 1, 2, 2)), jnp.asarray([0.5]), [1.0, 2.0], 1,
+            output_all_steps=True)
+        np.testing.assert_allclose(np.asarray(out[0, 0]).ravel()[0], 0.5)
+        np.testing.assert_allclose(np.asarray(out[0, 1]).ravel()[0], 1.0)
+
+    def test_ar_eval_through_trainer(self, tmp_path):
+        trainer = make_trainer(tmp_path)
+        ds = trainer.eval_dataset
+        trainer.set_ar_steps(2)
+        out = trainer.predict(ds, metric_key_prefix="ar/")
+        assert out.predictions.shape == (len(ds), 2, 16, 16)
+        trainer.set_ar_steps(None)
+
+
+class TestSharding:
+    def test_batch_sharded_over_data_axis(self, tmp_path):
+        trainer = make_trainer(tmp_path)
+        assert trainer.mesh.shape["data"] == 8
+        batch = trainer._device_batch(
+            {"pixel_values": np.zeros((8, 2, 16, 16), np.float32),
+             "labels": np.zeros((8, 2, 16, 16), np.float32),
+             "time": np.ones((8,), np.float32)})
+        shards = batch["pixel_values"].sharding
+        assert shards.spec[0] == "data"
