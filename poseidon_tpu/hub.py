@@ -308,6 +308,156 @@ def _merge_with_init(loaded: dict, init: dict, replaced: list,
     return out
 
 
+def _inv_linear_w(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _inv_conv_w(w: np.ndarray) -> np.ndarray:
+    # (kh, kw, I, O) -> (O, I, kh, kw)
+    return np.ascontiguousarray(np.asarray(w).transpose(3, 2, 0, 1))
+
+
+def _inv_patch_embed_w(w: np.ndarray, patch_size: int) -> np.ndarray:
+    # (p*p*C, E) -> (p, p, C, E) -> (E, C, p, p)
+    p = patch_size
+    e = w.shape[-1]
+    return np.ascontiguousarray(
+        np.asarray(w).reshape(p, p, -1, e).transpose(3, 2, 0, 1))
+
+
+def _inv_patch_recovery_w(w: np.ndarray, patch_size: int) -> np.ndarray:
+    # (E, p*p*O) -> (E, p, p, O) -> (E, O, p, p)
+    p = patch_size
+    e = w.shape[0]
+    return np.ascontiguousarray(
+        np.asarray(w).reshape(e, p, p, -1).transpose(0, 3, 1, 2))
+
+
+def export_torch_state_dict(params: dict, cfg: ScOTConfig,
+                            batch_stats: Optional[dict] = None) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_state_dict`: lay the Flax params tree
+    out as a reference-format PyTorch state dict (numpy values), so models
+    trained here can be loaded by the PyTorch reference / pushed to the Hub."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put_norm(torch_prefix: str, node: dict):
+        if cfg.use_conditioning:
+            out[f"{torch_prefix}.weight.weight"] = _inv_linear_w(node["cond_scale"]["kernel"])
+            out[f"{torch_prefix}.weight.bias"] = np.asarray(node["cond_scale"]["bias"])
+            out[f"{torch_prefix}.bias.weight"] = _inv_linear_w(node["cond_shift"]["kernel"])
+            out[f"{torch_prefix}.bias.bias"] = np.asarray(node["cond_shift"]["bias"])
+        else:
+            out[f"{torch_prefix}.weight"] = np.asarray(node["LayerNorm_0"]["scale"])
+            out[f"{torch_prefix}.bias"] = np.asarray(node["LayerNorm_0"]["bias"])
+
+    def put_block(torch_prefix: str, node: dict):
+        attn = node["attn"]
+        out[f"{torch_prefix}.attention.self.query.weight"] = _inv_linear_w(attn["query"]["kernel"])
+        out[f"{torch_prefix}.attention.self.key.weight"] = _inv_linear_w(attn["key"]["kernel"])
+        out[f"{torch_prefix}.attention.self.value.weight"] = _inv_linear_w(attn["value"]["kernel"])
+        if cfg.qkv_bias:
+            out[f"{torch_prefix}.attention.self.query.bias"] = np.asarray(attn["query"]["bias"])
+            out[f"{torch_prefix}.attention.self.value.bias"] = np.asarray(attn["value"]["bias"])
+        out[f"{torch_prefix}.attention.self.logit_scale"] = np.asarray(attn["logit_scale"])
+        out[f"{torch_prefix}.attention.self.continuous_position_bias_mlp.0.weight"] = \
+            _inv_linear_w(attn["cpb_mlp1"]["kernel"])
+        out[f"{torch_prefix}.attention.self.continuous_position_bias_mlp.0.bias"] = \
+            np.asarray(attn["cpb_mlp1"]["bias"])
+        out[f"{torch_prefix}.attention.self.continuous_position_bias_mlp.2.weight"] = \
+            _inv_linear_w(attn["cpb_mlp2"]["kernel"])
+        out[f"{torch_prefix}.attention.output.dense.weight"] = _inv_linear_w(attn["proj"]["kernel"])
+        out[f"{torch_prefix}.attention.output.dense.bias"] = np.asarray(attn["proj"]["bias"])
+        out[f"{torch_prefix}.intermediate.dense.weight"] = _inv_linear_w(node["mlp_fc1"]["kernel"])
+        out[f"{torch_prefix}.intermediate.dense.bias"] = np.asarray(node["mlp_fc1"]["bias"])
+        out[f"{torch_prefix}.output.dense.weight"] = _inv_linear_w(node["mlp_fc2"]["kernel"])
+        out[f"{torch_prefix}.output.dense.bias"] = np.asarray(node["mlp_fc2"]["bias"])
+        put_norm(f"{torch_prefix}.layernorm_before", node["norm_attn"])
+        put_norm(f"{torch_prefix}.layernorm_after", node["norm_mlp"])
+
+    out["embeddings.patch_embeddings.projection.weight"] = _inv_patch_embed_w(
+        params["embeddings"]["projection"]["kernel"], cfg.patch_size)
+    out["embeddings.patch_embeddings.projection.bias"] = np.asarray(
+        params["embeddings"]["projection"]["bias"])
+    put_norm("embeddings.norm", params["embed_norm"])
+    if "mask_token" in params:
+        out["embeddings.mask_token"] = np.asarray(params["mask_token"])
+    if "position_embeddings" in params:
+        out["embeddings.position_embeddings"] = np.asarray(params["position_embeddings"])
+
+    for i in range(cfg.num_stages):
+        for j in range(cfg.depths[i]):
+            put_block(f"encoder.layers.{i}.blocks.{j}",
+                      params["encoder"][f"stage_{i}_block_{j}"])
+        if i < cfg.num_stages - 1:
+            ds = params["encoder"][f"downsample_{i}"]
+            out[f"encoder.layers.{i}.downsample.reduction.weight"] = \
+                _inv_linear_w(ds["reduction"]["kernel"])
+            put_norm(f"encoder.layers.{i}.downsample.norm", ds["norm"])
+
+    for k in range(cfg.num_stages):
+        lvl = cfg.num_stages - 1 - k
+        for j in range(cfg.depths[lvl]):
+            put_block(f"decoder.layers.{k}.blocks.{j}",
+                      params["decoder"][f"stage_{lvl}_block_{j}"])
+        if lvl > 0:
+            us = params["decoder"][f"upsample_{lvl}"]
+            out[f"decoder.layers.{k}.upsample.upsample.weight"] = \
+                _inv_linear_w(us["expand"]["kernel"])
+            out[f"decoder.layers.{k}.upsample.mixup.weight"] = \
+                _inv_linear_w(us["mixup"]["kernel"])
+            put_norm(f"decoder.layers.{k}.upsample.norm", us["norm"])
+
+    for i, depth in enumerate(cfg.skip_connections):
+        for j in range(depth):
+            pre = f"residual_blocks.{i}.{j}"
+            blk = params[f"residual_{i}_{j}"]
+            if cfg.residual_model == "convnext":
+                out[f"{pre}.dwconv.weight"] = _inv_conv_w(blk["dwconv"]["kernel"])
+                out[f"{pre}.dwconv.bias"] = np.asarray(blk["dwconv"]["bias"])
+                out[f"{pre}.pwconv1.weight"] = _inv_linear_w(blk["pwconv1"]["kernel"])
+                out[f"{pre}.pwconv1.bias"] = np.asarray(blk["pwconv1"]["bias"])
+                out[f"{pre}.pwconv2.weight"] = _inv_linear_w(blk["pwconv2"]["kernel"])
+                out[f"{pre}.pwconv2.bias"] = np.asarray(blk["pwconv2"]["bias"])
+                out[f"{pre}.weight"] = np.asarray(blk["layer_scale"])
+                put_norm(f"{pre}.norm", blk["norm"])
+            else:
+                out[f"{pre}.conv1.weight"] = _inv_conv_w(blk["conv1"]["kernel"])
+                out[f"{pre}.conv1.bias"] = np.asarray(blk["conv1"]["bias"])
+                out[f"{pre}.conv2.weight"] = _inv_conv_w(blk["conv2"]["kernel"])
+                out[f"{pre}.conv2.bias"] = np.asarray(blk["conv2"]["bias"])
+                for bn in ("bn1", "bn2"):
+                    out[f"{pre}.{bn}.weight"] = np.asarray(blk[bn]["scale"])
+                    out[f"{pre}.{bn}.bias"] = np.asarray(blk[bn]["bias"])
+                    if batch_stats is not None:
+                        st = batch_stats[f"residual_{i}_{j}"][bn]
+                        out[f"{pre}.{bn}.running_mean"] = np.asarray(st["mean"])
+                        out[f"{pre}.{bn}.running_var"] = np.asarray(st["var"])
+
+    out["patch_recovery.projection.weight"] = _inv_patch_recovery_w(
+        params["patch_recovery"]["projection"]["kernel"], cfg.patch_size)
+    out["patch_recovery.projection.bias"] = np.asarray(
+        params["patch_recovery"]["projection_bias"])
+    out["patch_recovery.mixup.weight"] = _inv_conv_w(
+        params["patch_recovery"]["mixup"]["kernel"])
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
+def save_pretrained(save_dir: str, params: dict, cfg: ScOTConfig,
+                    batch_stats: Optional[dict] = None) -> None:
+    """Write a reference-compatible checkpoint directory (model.safetensors +
+    config.json) loadable by the PyTorch reference's ``ScOT.from_pretrained``
+    — the Hub-push path of the reference (train.py:412-413) without egress."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(save_dir, exist_ok=True)
+    sd = export_torch_state_dict(params, cfg, batch_stats)
+    save_file(sd, os.path.join(save_dir, "model.safetensors"))
+    d = cfg.to_dict()
+    d["model_type"] = "swinv2"  # Hub compat, reference model.py:69
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(d, f, indent=2)
+
+
 def from_pretrained(
     model_dir: str,
     config: Optional[ScOTConfig] = None,

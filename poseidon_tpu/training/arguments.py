@@ -49,3 +49,8 @@ class TrainingArguments:
     report_to: str = "jsonl"  # "jsonl" | "wandb" | "none"
     run_name: Optional[str] = None
     resume_from_checkpoint: bool = False
+    # Capture a jax.profiler trace of training steps [profile_start,
+    # profile_stop) into <output_dir>/profile (viewable with XProf/
+    # TensorBoard). None disables profiling.
+    profile_step_start: Optional[int] = None
+    profile_step_stop: Optional[int] = None

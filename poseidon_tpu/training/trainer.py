@@ -236,7 +236,9 @@ class Trainer:
             t_epoch = _time.time()
             running, n_running = 0.0, 0
             for bi, batch in enumerate(loader.epoch(epoch)):
-                rng = jax.random.fold_in(self.rng, epoch * steps_per_epoch + bi)
+                global_step = epoch * steps_per_epoch + bi
+                self._maybe_profile(global_step)
+                rng = jax.random.fold_in(self.rng, global_step)
                 dbatch = self._device_batch(batch)
                 self.state, metrics = train_step(self.state, dbatch, rng)
                 loss = float(metrics["loss"])
@@ -398,6 +400,23 @@ class Trainer:
         if is_primary():
             with open(os.path.join(out_dir, "config.json"), "w") as f:
                 f.write(self.config.to_json())
+
+    # -- profiling ----------------------------------------------------------
+    _profiling = False
+
+    def _maybe_profile(self, global_step: int):
+        """jax.profiler trace hook (SURVEY.md §5.1: the reference has no
+        tracing; this is the TPU-native observability addition)."""
+        a = self.args
+        if a.profile_step_start is None or not is_primary():
+            return
+        if global_step == a.profile_step_start and not self._profiling:
+            jax.profiler.start_trace(os.path.join(a.output_dir, "profile"))
+            self._profiling = True
+        stop = a.profile_step_stop if a.profile_step_stop is not None else a.profile_step_start + 3
+        if global_step == stop and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
 
     # -- logging ------------------------------------------------------------
     def _open_logging(self):

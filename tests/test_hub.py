@@ -18,6 +18,7 @@ except Exception:  # pragma: no cover
 
 pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference model unavailable")
 
+import jax
 import jax.numpy as jnp
 
 from poseidon_tpu.hub import from_pretrained
@@ -80,3 +81,41 @@ class TestFromPretrained:
         new_cfg = load_config(path).replace(num_channels=5)
         with pytest.raises(ValueError):
             from_pretrained(path, config=new_cfg, ignore_mismatched_sizes=False)
+
+
+class TestExportRoundTrip:
+    def test_flax_to_torch_roundtrip(self, tmp_path):
+        """export_torch_state_dict must be loadable by the PyTorch reference
+        with identical outputs."""
+        path, tmodel = save_torch_checkpoint(tmp_path)
+        model, variables, _ = from_pretrained(path)
+
+        from poseidon_tpu.hub import save_pretrained
+
+        out_dir = tmp_path / "exported"
+        save_pretrained(str(out_dir), variables["params"], model.config)
+
+        # reference loads our export
+        tmodel2 = TorchScOT.from_pretrained(str(out_dir)).eval()
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+        t = np.asarray([0.6], np.float32)
+        with torch.no_grad():
+            y1 = tmodel(pixel_values=torch.from_numpy(x),
+                        time=torch.from_numpy(t)).output.numpy()
+            y2 = tmodel2(pixel_values=torch.from_numpy(x),
+                         time=torch.from_numpy(t)).output.numpy()
+        np.testing.assert_allclose(y2, y1, atol=1e-6)
+
+    def test_export_name_set_matches(self, tmp_path):
+        path, tmodel = save_torch_checkpoint(tmp_path)
+        model, variables, _ = from_pretrained(path)
+        from poseidon_tpu.hub import export_torch_state_dict
+
+        sd = export_torch_state_dict(
+            jax.tree.map(np.asarray, variables["params"]), model.config)
+        ref_names = set(tmodel.state_dict().keys())
+        got_names = set(sd.keys())
+        assert got_names == ref_names, (
+            f"missing={sorted(ref_names - got_names)[:5]} "
+            f"extra={sorted(got_names - ref_names)[:5]}")
