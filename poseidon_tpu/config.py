@@ -54,6 +54,12 @@ class ScOTConfig:
     # Attention implementation: "xla" (pure jnp, XLA-fused) or "pallas"
     # (fused VMEM-resident TPU kernel; falls back to interpret mode off-TPU).
     attention_impl: str = "xla"
+    # Compile the transformer stages as lax.scan over (unshifted, shifted)
+    # block pairs: identical numerics, ~depth/2x smaller HLO and much faster
+    # XLA compiles. Params gain a leading pair axis (stage_{i}_pairs/...);
+    # the hub bridge handles both layouts. Stages with odd depth fall back
+    # to the unrolled form.
+    scan_blocks: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "depths", tuple(self.depths))

@@ -159,12 +159,35 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
     if "embeddings.position_embeddings" in sd and cfg.use_absolute_embeddings:
         params["position_embeddings"] = getw("embeddings.position_embeddings")
 
+    def _tree_stack(trees):
+        import jax
+
+        return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+    def _stage_blocks(torch_stage_prefix: str, depth: int, scanned: bool) -> dict:
+        """Blocks of one stage, in either unrolled (stage_i_block_j) or
+        scanned (stage_i_pairs with leading pair axis) layout."""
+        blocks = [
+            _block_entries(f"{torch_stage_prefix}.blocks.{j}", cfg, getw)
+            for j in range(depth)
+        ]
+        if not scanned:
+            return {f"block_{j}": b for j, b in enumerate(blocks)}
+        pairs = [{"block_a": blocks[2 * m], "block_b": blocks[2 * m + 1]}
+                 for m in range(depth // 2)]
+        return {"pairs": _tree_stack(pairs)}
+
     # encoder
     enc: dict = {}
     for i in range(cfg.num_stages):
-        for j in range(cfg.depths[i]):
-            enc[f"stage_{i}_block_{j}"] = _block_entries(
-                f"encoder.layers.{i}.blocks.{j}", cfg, getw)
+        depth = cfg.depths[i]
+        scanned = cfg.scan_blocks and depth >= 2 and depth % 2 == 0
+        st = _stage_blocks(f"encoder.layers.{i}", depth, scanned)
+        if scanned:
+            enc[f"stage_{i}_pairs"] = st["pairs"]
+        else:
+            for j in range(depth):
+                enc[f"stage_{i}_block_{j}"] = st[f"block_{j}"]
         if i < cfg.num_stages - 1:
             ds = {
                 "reduction": {
@@ -181,9 +204,14 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
     dec: dict = {}
     for k in range(cfg.num_stages):
         lvl = cfg.num_stages - 1 - k
-        for j in range(cfg.depths[lvl]):
-            dec[f"stage_{lvl}_block_{j}"] = _block_entries(
-                f"decoder.layers.{k}.blocks.{j}", cfg, getw)
+        depth = cfg.depths[lvl]
+        scanned = cfg.scan_blocks and depth >= 2 and depth % 2 == 0
+        st = _stage_blocks(f"decoder.layers.{k}", depth, scanned)
+        if scanned:
+            dec[f"stage_{lvl}_pairs"] = st["pairs"]
+        else:
+            for j in range(depth):
+                dec[f"stage_{lvl}_block_{j}"] = st[f"block_{j}"]
         if lvl > 0:
             us = {
                 "expand": {
@@ -384,10 +412,21 @@ def export_torch_state_dict(params: dict, cfg: ScOTConfig,
     if "position_embeddings" in params:
         out["embeddings.position_embeddings"] = np.asarray(params["position_embeddings"])
 
+    import jax
+
+    def stage_block(node: dict, i: int, j: int) -> dict:
+        """Fetch block j of a stage from either layout (scanned pairs or
+        unrolled)."""
+        if f"stage_{i}_pairs" in node:
+            pairs = node[f"stage_{i}_pairs"]
+            sub = pairs["block_a" if j % 2 == 0 else "block_b"]
+            return jax.tree.map(lambda a: np.asarray(a)[j // 2], sub)
+        return node[f"stage_{i}_block_{j}"]
+
     for i in range(cfg.num_stages):
         for j in range(cfg.depths[i]):
             put_block(f"encoder.layers.{i}.blocks.{j}",
-                      params["encoder"][f"stage_{i}_block_{j}"])
+                      stage_block(params["encoder"], i, j))
         if i < cfg.num_stages - 1:
             ds = params["encoder"][f"downsample_{i}"]
             out[f"encoder.layers.{i}.downsample.reduction.weight"] = \
@@ -398,7 +437,7 @@ def export_torch_state_dict(params: dict, cfg: ScOTConfig,
         lvl = cfg.num_stages - 1 - k
         for j in range(cfg.depths[lvl]):
             put_block(f"decoder.layers.{k}.blocks.{j}",
-                      params["decoder"][f"stage_{lvl}_block_{j}"])
+                      stage_block(params["decoder"], lvl, j))
         if lvl > 0:
             us = params["decoder"][f"upsample_{lvl}"]
             out[f"decoder.layers.{k}.upsample.upsample.weight"] = \

@@ -95,9 +95,22 @@ class SwinBlock(nn.Module):
     drop_path: float
     dtype: Dtype = jnp.float32
 
+    def _drop_path(self, h: jax.Array, rate_traced, deterministic: bool) -> jax.Array:
+        """Stochastic depth with either the static attribute rate or a traced
+        per-block rate (the scanned path passes rates as scan inputs)."""
+        if deterministic or self.config.drop_path_rate == 0.0:
+            return h
+        if rate_traced is None:
+            return DropPath(self.drop_path)(h, deterministic)
+        keep = 1.0 - rate_traced
+        shape = (h.shape[0],) + (1,) * (h.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, h / keep.astype(h.dtype), jnp.zeros_like(h))
+
     @nn.compact
     def __call__(self, x: jax.Array, time: Optional[jax.Array],
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 drop_path_rate: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.config
         h = w = self.resolution
         window = min(cfg.window_size, h)
@@ -141,7 +154,7 @@ class SwinBlock(nn.Module):
                        initializer_range=cfg.initializer_range)
         # Post-norm residual (SwinV2 order).
         hs = make_norm(cfg.use_conditioning, c, name="norm_attn", **norm_kw)(hs, time)
-        x = shortcut + DropPath(self.drop_path)(hs, deterministic)
+        x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
 
         mlp = nn.Dense(int(cfg.mlp_ratio * c), name="mlp_fc1", dtype=self.dtype,
                        kernel_init=normal_init(cfg.initializer_range),
@@ -153,7 +166,51 @@ class SwinBlock(nn.Module):
         if cfg.hidden_dropout_prob > 0.0 and not deterministic:
             mlp = nn.Dropout(cfg.hidden_dropout_prob)(mlp, deterministic=False)
         mlp = make_norm(cfg.use_conditioning, c, name="norm_mlp", **norm_kw)(mlp, time)
-        return x + DropPath(self.drop_path)(mlp, deterministic)
+        return x + self._drop_path(mlp, drop_path_rate, deterministic)
+
+
+class BlockPair(nn.Module):
+    """Two consecutive Swin blocks — one unshifted, one shifted (or the
+    reverse for the decoder) — as the scan body for ``config.scan_blocks``.
+    ``dpr_pair`` carries the two per-block drop-path rates as traced scan
+    inputs."""
+
+    config: ScOTConfig
+    dim: int
+    num_heads: int
+    resolution: int
+    shifted_first: bool
+    deterministic: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: Optional[jax.Array], dpr_pair: jax.Array):
+        kw = dict(config=self.config, dim=self.dim, num_heads=self.num_heads,
+                  resolution=self.resolution, drop_path=0.0, dtype=self.dtype)
+        x = SwinBlock(shifted=self.shifted_first, name="block_a", **kw)(
+            x, time, self.deterministic, drop_path_rate=dpr_pair[0])
+        x = SwinBlock(shifted=not self.shifted_first, name="block_b", **kw)(
+            x, time, self.deterministic, drop_path_rate=dpr_pair[1])
+        return x, None
+
+
+def _scan_stage(parent_cfg: ScOTConfig, *, dim: int, num_heads: int,
+                resolution: int, shifted_first: bool, deterministic: bool,
+                dtype, remat: bool, name: str):
+    """Build the nn.scan-wrapped BlockPair for one stage."""
+    body = BlockPair
+    if remat:
+        body = nn.remat(BlockPair, prevent_cse=False)
+    scanned = nn.scan(
+        body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(nn.broadcast, 0),
+        length=None,  # inferred from dpr input
+    )
+    return scanned(config=parent_cfg, dim=dim, num_heads=num_heads,
+                   resolution=resolution, shifted_first=shifted_first,
+                   deterministic=deterministic, dtype=dtype, name=name)
 
 
 # ---------------------------------------------------------------------------
@@ -185,15 +242,26 @@ class Encoder(nn.Module):
         for i in range(cfg.num_stages):
             res = cfg.stage_resolution(i)
             dim = cfg.stage_dim(i)
+            depth = cfg.depths[i]
             stage_input = x
             offset = sum(cfg.depths[:i])
-            for j in range(cfg.depths[i]):
-                x = block_cls(
-                    config=cfg, dim=dim, num_heads=cfg.num_heads[i],
-                    resolution=res, shifted=(j % 2 == 1),
-                    drop_path=dpr[offset + j], dtype=self.dtype,
-                    name=f"stage_{i}_block_{j}",
-                )(x, time, deterministic)
+            if cfg.scan_blocks and depth >= 2 and depth % 2 == 0:
+                dpr_stage = jnp.asarray(
+                    dpr[offset:offset + depth], jnp.float32).reshape(depth // 2, 2)
+                x, _ = _scan_stage(
+                    cfg, dim=dim, num_heads=cfg.num_heads[i], resolution=res,
+                    shifted_first=False, deterministic=deterministic,
+                    dtype=self.dtype, remat=self.remat,
+                    name=f"stage_{i}_pairs",
+                )(x, time, dpr_stage)
+            else:
+                for j in range(depth):
+                    x = block_cls(
+                        config=cfg, dim=dim, num_heads=cfg.num_heads[i],
+                        resolution=res, shifted=(j % 2 == 1),
+                        drop_path=dpr[offset + j], dtype=self.dtype,
+                        name=f"stage_{i}_block_{j}",
+                    )(x, time, deterministic)
             skips.append(x)
             if i < cfg.num_stages - 1:
                 # Stage residual feeds the downsample (model.py:843-849).
@@ -230,15 +298,26 @@ class Decoder(nn.Module):
             dim = cfg.stage_dim(lvl)
             depth = cfg.depths[lvl]
             lo = sum(cfg.depths[lvl + 1:])
-            for j in range(depth):
-                # The reference builds decode blocks in reversed order, so the
-                # j-th executed block is shifted iff (depth-1-j) is odd.
-                x = block_cls(
-                    config=cfg, dim=dim, num_heads=cfg.num_heads[lvl],
-                    resolution=res, shifted=((depth - 1 - j) % 2 == 1),
-                    drop_path=dpr[lo + j], dtype=self.dtype,
-                    name=f"stage_{lvl}_block_{j}",
-                )(x, time, deterministic)
+            if cfg.scan_blocks and depth >= 2 and depth % 2 == 0:
+                # Even depth: executed blocks alternate shifted-first
+                # (the reference builds decode blocks in reversed order).
+                dpr_stage = jnp.asarray(
+                    dpr[lo:lo + depth], jnp.float32).reshape(depth // 2, 2)
+                x, _ = _scan_stage(
+                    cfg, dim=dim, num_heads=cfg.num_heads[lvl], resolution=res,
+                    shifted_first=True, deterministic=deterministic,
+                    dtype=self.dtype, remat=self.remat,
+                    name=f"stage_{lvl}_pairs",
+                )(x, time, dpr_stage)
+            else:
+                for j in range(depth):
+                    # j-th executed block is shifted iff (depth-1-j) is odd.
+                    x = block_cls(
+                        config=cfg, dim=dim, num_heads=cfg.num_heads[lvl],
+                        resolution=res, shifted=((depth - 1 - j) % 2 == 1),
+                        drop_path=dpr[lo + j], dtype=self.dtype,
+                        name=f"stage_{lvl}_block_{j}",
+                    )(x, time, deterministic)
             if lvl > 0:
                 x = PatchUnmerging(
                     dim=dim, input_resolution=res,

@@ -170,3 +170,45 @@ class TestParamCount:
         t_count = sum(p.numel() for p in tm.parameters() if p.requires_grad)
         j_count = sum(int(np.prod(np.shape(leaf))) for leaf in jax.tree.leaves(v["params"]))
         assert j_count == t_count
+
+
+class TestScanBlocks:
+    def test_scanned_matches_reference(self):
+        """scan_blocks=True (lax.scan over block pairs) must be numerically
+        identical to the unrolled path and the torch reference."""
+        tm, jm, v, tcfg, jcfg = build_pair(depths=(2, 2, 2, 2))
+        cfg_s = jcfg.replace(scan_blocks=True)
+        jm_s = ScOT(config=cfg_s)
+        sd = {k: p.detach().numpy() for k, p in tm.state_dict().items()}
+        params_s = convert_torch_state_dict(sd, cfg_s)
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        t = np.asarray([0.35, 0.8], np.float32)
+        compare(tm, jm_s, {"params": jax.tree.map(jnp.asarray, params_s)}, x, t)
+
+    def test_scanned_odd_depth_fallback(self):
+        tm, jm, v, tcfg, jcfg = build_pair(depths=(1, 2, 1, 2))
+        cfg_s = jcfg.replace(scan_blocks=True)
+        jm_s = ScOT(config=cfg_s)
+        sd = {k: p.detach().numpy() for k, p in tm.state_dict().items()}
+        params_s = convert_torch_state_dict(sd, cfg_s)
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(12)
+        x = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+        t = np.asarray([0.5], np.float32)
+        compare(tm, jm_s, {"params": jax.tree.map(jnp.asarray, params_s)}, x, t)
+
+    def test_scanned_export_roundtrip(self):
+        tm, jm, v, tcfg, jcfg = build_pair(depths=(2, 2, 2, 2))
+        cfg_s = jcfg.replace(scan_blocks=True)
+        sd = {k: p.detach().numpy() for k, p in tm.state_dict().items()}
+        params_s = convert_torch_state_dict(sd, cfg_s)
+        from poseidon_tpu.hub import export_torch_state_dict
+
+        sd2 = export_torch_state_dict(params_s, cfg_s)
+        assert set(sd2) == set(sd)
+        for k in sd:
+            np.testing.assert_allclose(sd2[k], sd[k], atol=1e-7, err_msg=k)
