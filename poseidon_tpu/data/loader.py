@@ -19,15 +19,23 @@ import numpy as np
 
 
 def _collate(samples) -> Dict[str, np.ndarray]:
+    from .native import collate_stack
+
     out: Dict[str, np.ndarray] = {}
     first = samples[0]
     for key in first:
-        vals = [s[key] for s in samples]
-        out[key] = np.stack([np.asarray(v) for v in vals]).astype(
-            np.float32 if key != "pixel_mask" else np.bool_)
+        vals = [np.asarray(s[key]) for s in samples]
+        if key == "pixel_mask":
+            out[key] = np.stack(vals).astype(np.bool_)
+        elif vals[0].ndim >= 1:
+            # hot path: OpenMP-parallel stack via the native collate library
+            # (falls back to numpy when native/ isn't built)
+            out[key] = collate_stack(vals)
+        else:
+            out[key] = np.stack(vals).astype(np.float32)
     if "time" not in out:
         out["time"] = np.zeros(len(samples), np.float32)
-    out["time"] = out["time"].reshape(len(samples))
+    out["time"] = np.asarray(out["time"], np.float32).reshape(len(samples))
     return out
 
 

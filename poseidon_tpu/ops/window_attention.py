@@ -46,7 +46,7 @@ def _attn_kernel(scale_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
 
     scores = jax.lax.dot_general(
         qn, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    scores = scores * scale_ref[0, 0]
+    scores = scores * scale_ref[pl.program_id(1), 0]
     scores = scores + bias_ref[0] + mask_ref[0]
 
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -74,7 +74,8 @@ def _forward_pallas(q, k, v, bias, mask, scale):
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i, j: (j, 0), memory_space=pltpu.SMEM),
+                # full (H, 1) scale array in SMEM; indexed by grid pos inside
+                pl.BlockSpec((h, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
                 qkv_spec, qkv_spec, qkv_spec,
                 pl.BlockSpec((1, t, t), lambda i, j: (j, 0, 0),
                              memory_space=pltpu.VMEM),

@@ -20,6 +20,7 @@ import json
 import os
 import sys
 
+import jax
 import numpy as np
 
 from .config import MODEL_MAP, ScOTConfig
@@ -206,6 +207,20 @@ def main(argv=None):
 
     trainer.train(resume_from_checkpoint=params.resume_training)
     trainer.save_model(ckpt_dir)
+
+    if params.push_to_hf_hub is not None and is_primary():
+        # Zero-egress equivalent of the reference's Hub push (train.py:412-413):
+        # export a reference-compatible checkpoint dir ready to upload.
+        from .hub import save_pretrained
+
+        export_dir = os.path.join(ckpt_dir, "hub_export")
+        save_pretrained(export_dir,
+                        jax.tree.map(np.asarray, trainer.state.params),
+                        model_config,
+                        batch_stats=(jax.tree.map(np.asarray, trainer.state.batch_stats)
+                                     if trainer.state.batch_stats is not None else None))
+        print(f"Exported Hub-compatible checkpoint to {export_dir} "
+              f"(repo name requested: {params.push_to_hf_hub})")
 
     # ----- post-training test protocol (reference train.py:415-537) --------
     do_test = (params.max_num_train_time_steps is None

@@ -67,6 +67,13 @@ class Trainer:
         self.eval_dataset = eval_dataset
         self.compute_metrics = compute_metrics
         self.mesh = mesh if mesh is not None else make_mesh(num_model=args.num_model_shards)
+        data_size = self.mesh.shape["data"]
+        for name, bs in (("train_batch_size", args.train_batch_size),
+                         ("eval_batch_size", args.eval_batch_size)):
+            if bs % data_size != 0:
+                raise ValueError(
+                    f"{name}={bs} must be divisible by the data-parallel mesh "
+                    f"size ({data_size} devices)")
         self.ar_steps: Union[None, int, Sequence[float]] = None
         self.output_all_steps = False
         self._jit_cache: Dict = {}
@@ -151,6 +158,15 @@ class Trainer:
             def step_fn(x, t):
                 return self.model.apply(self._variables(params, batch_stats), x, t)
 
+            if self.output_all_steps:
+                # Stack every intermediate prediction along a new time axis
+                # (reference trainer.py:504-520); loss = mean per-step loss.
+                preds = autoregressive_rollout(
+                    step_fn, batch["pixel_values"], batch["time"],
+                    self.ar_steps, cfg.num_out_channels, output_all_steps=True)
+                losses = [masked_loss(preds[:, i], batch["labels"])
+                          for i in range(preds.shape[1])]
+                return jnp.mean(jnp.stack(losses)), preds, None
             loss, pred = rollout_loss(
                 step_fn, masked_loss, batch["pixel_values"], batch["time"],
                 batch["labels"], self.ar_steps, cfg.num_out_channels)
