@@ -106,6 +106,25 @@ def window_reverse(x: jax.Array, window: int, height: int, width: int) -> jax.Ar
 # Attention module
 # ---------------------------------------------------------------------------
 
+class _ProjParams(nn.Module):
+    """Dense-layout parameter holder (kernel (in, out)[, bias]) with no
+    forward of its own — lets q/k/v run as ONE fused GEMM while keeping the
+    reference's per-projection checkpoint layout."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool
+    initializer_range: float
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", normal_init(self.initializer_range),
+                            (self.in_dim, self.out_dim), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     """Cosine attention over flattened windows.
 
@@ -137,9 +156,22 @@ class WindowAttention(nn.Module):
             nn.Dense, dtype=self.dtype, kernel_init=init, bias_init=nn.initializers.zeros
         )
 
-        q = dense(self.dim, use_bias=self.qkv_bias, name="query")(x)
-        k = dense(self.dim, use_bias=False, name="key")(x)  # key is always bias-free
-        v = dense(self.dim, use_bias=self.qkv_bias, name="value")(x)
+        # Fused QKV: one (C -> 3C) GEMM instead of three, reading the
+        # activations once. Params keep the reference's separate q/k/v layout
+        # (checkpoint compat); the concat of the three kernels is tiny and
+        # folded by XLA.
+        wq = _ProjParams(self.dim, self.dim, self.qkv_bias,
+                         self.initializer_range, name="query")()
+        wk = _ProjParams(self.dim, self.dim, False,
+                         self.initializer_range, name="key")()
+        wv = _ProjParams(self.dim, self.dim, self.qkv_bias,
+                         self.initializer_range, name="value")()
+        w_qkv = jnp.concatenate([wq[0], wk[0], wv[0]], axis=1).astype(self.dtype)
+        qkv = jnp.dot(x.astype(self.dtype), w_qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.qkv_bias:
+            q = q + wq[1].astype(q.dtype)
+            v = v + wv[1].astype(v.dtype)
         q = q.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
