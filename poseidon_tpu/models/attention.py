@@ -230,16 +230,32 @@ class WindowAttention(nn.Module):
         return out
 
     def _position_bias(self) -> jax.Array:
-        """CPB MLP over the static log-coord table, gathered to (heads, T, T),
-        then 16*sigmoid."""
+        """CPB MLP over the static log-coord table, expanded to (heads, T, T),
+        then 16*sigmoid.
+
+        The (T, T) relative-position expansion is block-Toeplitz with STATIC
+        structure, so instead of a dynamic gather (whose backward is a
+        TPU-hostile scatter-add into the table — ~20ms/step for ScOT-B) it is
+        built from w static slices per axis; the backward becomes cheap pads.
+        Numerically identical to the gather formulation (tested)."""
+        w = self.window_size
         init = normal_init(self.initializer_range)
-        table = jnp.asarray(relative_coords_table(self.window_size))  # (M, 2)
+        table = jnp.asarray(relative_coords_table(w))  # ((2w-1)^2, 2)
         h = nn.Dense(512, name="cpb_mlp1", dtype=jnp.float32, kernel_init=init,
                      bias_init=nn.initializers.zeros)(table)
         h = jax.nn.relu(h)
         h = nn.Dense(self.num_heads, use_bias=False, name="cpb_mlp2",
                      dtype=jnp.float32, kernel_init=init)(h)  # (M, heads)
-        idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
-        t = self.window_size * self.window_size
-        bias = h[idx].reshape(t, t, self.num_heads).transpose(2, 0, 1)
+        t = w * w
+        table2d = h.reshape(2 * w - 1, 2 * w - 1, self.num_heads)
+        # rows[y', y, dx, H] = table2d[y - y' + w-1, dx]: one static slice per y'
+        rows = jnp.stack(
+            [jax.lax.slice_in_dim(table2d, w - 1 - yp, 2 * w - 1 - yp, axis=0)
+             for yp in range(w)], axis=0)  # (w_y', w_y, 2w-1, H)
+        # full[y', y, x', x, H] = rows[y', y, x - x' + w-1]
+        full = jnp.stack(
+            [jax.lax.slice_in_dim(rows, w - 1 - xp, 2 * w - 1 - xp, axis=2)
+             for xp in range(w)], axis=2)  # (w_y', w_y, w_x', w_x, H)
+        # bias[H, t=(y,x), t'=(y',x')]
+        bias = full.transpose(4, 1, 3, 0, 2).reshape(self.num_heads, t, t)
         return 16.0 * jax.nn.sigmoid(bias)

@@ -345,6 +345,10 @@ class ScOT(nn.Module):
     config: ScOTConfig
     dtype: Dtype = jnp.float32
     use_mask_token: bool = False
+    # Rematerialize transformer blocks in the backward pass (gradient
+    # checkpointing) — trades ~30% extra FLOPs for a large activation-memory
+    # saving (notably the fp32 attention probabilities).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -392,8 +396,8 @@ class ScOT(nn.Module):
             tokens = nn.Dropout(cfg.hidden_dropout_prob)(tokens, deterministic=False)
 
         # --- encoder --------------------------------------------------------
-        skips = Encoder(config=cfg, dtype=self.dtype, name="encoder")(
-            tokens, time, deterministic)
+        skips = Encoder(config=cfg, dtype=self.dtype, remat=self.remat,
+                        name="encoder")(tokens, time, deterministic)
 
         # --- residual skip blocks ------------------------------------------
         block_cls = ConvNeXtBlock if cfg.residual_model == "convnext" else ResNetBlock
@@ -411,8 +415,9 @@ class ScOT(nn.Module):
             processed.append(h)
 
         # --- decoder + recovery --------------------------------------------
-        decoded = Decoder(config=cfg, dtype=self.dtype, name="decoder")(
-            processed[-1], processed[:-1], time, deterministic)
+        decoded = Decoder(config=cfg, dtype=self.dtype, remat=self.remat,
+                          name="decoder")(processed[-1], processed[:-1], time,
+                                          deterministic)
         pred = PatchRecovery(
             patch_size=cfg.patch_size, num_out_channels=cfg.num_out_channels,
             grid_size=cfg.grid_size, dtype=self.dtype,

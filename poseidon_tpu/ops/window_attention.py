@@ -1,23 +1,31 @@
-"""Fused window cosine-attention Pallas TPU kernel.
+"""Fused window cosine-attention Pallas TPU kernels (forward AND backward).
 
-Fuses the entire per-window attention pipeline — q/k L2-normalization, learned
-logit scaling, continuous-relative-position-bias add, shifted-window mask add,
-softmax, and the PV matmul — into one VMEM-resident kernel, so the (T, T)
-score matrix never touches HBM. One grid step handles one (window, head) pair.
+The op boundary is the attention *core*: given already-normalized-and-scaled
+queries ``qs`` (= L2-normalized q times the clamped per-head logit scale),
+L2-normalized keys ``kn``, values ``v``, the shared CPB bias (H, T, T) and the
+shifted-window mask (nW, T, T):
 
-Forward is the Pallas kernel; backward is a recompute-based custom VJP that
-differentiates the identical jnp reference formulation (numerics match the
-XLA path, which the tests assert). On non-TPU backends the kernel runs in
-interpreter mode so CPU tests exercise the same code path.
+    S = qs @ kn^T + bias[h] + mask[n % nW];  P = softmax(S);  O = P @ v
 
-Replaces the reference's HF ``Swinv2SelfAttention`` score pipeline
-(modeling_swinv2.py:479-533, used via /root/reference/scOT/model.py:539).
+Both passes keep the (T, T) score matrix entirely in VMEM — it never touches
+HBM, unlike the XLA lowering which materializes fp32 scores/probs for the
+backward (the dominant cost of scOT's step time). The backward kernel
+recomputes S and P per (head, window) tile and accumulates the bias gradient
+across windows in the output block (grid iterates windows innermost so the
+revisited block stays resident).
+
+The cosine normalization and logit-scale clamping stay OUTSIDE the op (cheap
+elementwise work on (N, H, T, D) tensors) so their gradients come from XLA
+autodiff — the kernel needs no dscale plumbing.
+
+Replaces the score pipeline of HF ``Swinv2SelfAttention`` (modeling_swinv2.py:
+479-533, used by /root/reference/scOT/model.py:539). On non-TPU backends the
+kernels run in interpreter mode so CPU tests exercise the same code path.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -31,105 +39,187 @@ def _needs_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _attn_kernel(scale_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
-    """One (window, head) attention instance.
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
 
-    q/k/v: (T, D) blocks; bias: (T, T) for this head; mask: (T, T) for this
-    window (zeros when unshifted); scale: (1, 1) SMEM scalar = exp(clamped
-    logit_scale[h]).
-    """
-    q = q_ref[0, 0].astype(jnp.float32)  # (T, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-
-    qn = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
-    kn = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
-
-    scores = jax.lax.dot_general(
-        qn, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    scores = scores * scale_ref[pl.program_id(1), 0]
-    scores = scores + bias_ref[0] + mask_ref[0]
-
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
+def _fwd_kernel(qs_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
+    qs = qs_ref[0, 0].astype(jnp.float32)  # (T, D)
+    kn = k_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(qs, kn, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_ref[0] + mask_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-
     o_ref[0, 0] = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _forward_pallas(q, k, v, bias, mask, scale):
-    """q/k/v: (N, H, T, D); bias: (H, T, T); mask: (nW, T, T); scale: (H,).
-    Returns (N, H, T, D)."""
-    n, h, t, d = q.shape
+def _core_fwd(qs, kn, v, bias, mask):
+    n, h, t, d = qs.shape
     nw = mask.shape[0]
-    scale2d = scale.reshape(h, 1).astype(jnp.float32)
-
-    grid = (n, h)
-    qkv_spec = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+    qkv_spec = pl.BlockSpec((1, 1, t, d), lambda jh, jn: (jn, jh, 0, 0),
                             memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _attn_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=grid,
-            in_specs=[
-                # full (H, 1) scale array in SMEM; indexed by grid pos inside
-                pl.BlockSpec((h, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-                qkv_spec, qkv_spec, qkv_spec,
-                pl.BlockSpec((1, t, t), lambda i, j: (j, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, t), lambda i, j: (i % nw, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, h, t, d), q.dtype),
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(h, n),  # windows innermost (matches the backward's accumulation)
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((1, t, t), lambda jh, jn: (jh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, t), lambda jh, jn: (jn % nw, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, d), lambda jh, jn: (jn, jh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, t, d), qs.dtype),
         interpret=_needs_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * (t * t * d * 2),
-            bytes_accessed=n * h * t * d * 3 * q.dtype.itemsize,
+            flops=4 * n * h * t * t * d,
+            bytes_accessed=n * h * t * d * 4 * qs.dtype.itemsize,
             transcendentals=n * h * t * t,
         ),
-    )(scale2d, q, k, v, bias, mask)
-    return out
+    )(qs, kn, v, bias, mask)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(qs_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref):
+    jn = pl.program_id(1)
+    qs = qs_ref[0, 0].astype(jnp.float32)
+    kn = k_ref[0, 0].astype(jnp.float32)
+    vv = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    # Recompute S and P in VMEM.
+    s = jax.lax.dot_general(qs, kn, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_ref[0] + mask_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    # dV = P^T dO
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    # dP = dO V^T ; dS = P * (dP - rowsum(dP * P))
+    dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    # dqs = dS kn ; dkn = dS^T qs
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, kn, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    # dbias accumulates over windows (innermost grid dim -> block resident)
+    @pl.when(jn == 0)
+    def _init():
+        dbias_ref[0] = ds
+
+    @pl.when(jn > 0)
+    def _acc():
+        dbias_ref[0] += ds
+
+
+def _core_bwd_pallas(qs, kn, v, bias, mask, do):
+    n, h, t, d = qs.shape
+    nw = mask.shape[0]
+    qkv_spec = pl.BlockSpec((1, 1, t, d), lambda jh, jn: (jn, jh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_qkv = jax.ShapeDtypeStruct((n, h, t, d), qs.dtype)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(h, n),
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((1, t, t), lambda jh, jn: (jh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, t), lambda jh, jn: (jn % nw, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qkv_spec,
+        ],
+        out_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((1, t, t), lambda jh, jn: (jh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[out_qkv, out_qkv, out_qkv,
+                   jax.ShapeDtypeStruct((h, t, t), jnp.float32)],
+        interpret=_needs_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * h * t * t * d,
+            bytes_accessed=n * h * t * d * 8 * qs.dtype.itemsize,
+            transcendentals=n * h * t * t,
+        ),
+    )(qs, kn, v, bias, mask, do)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp core + public API
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _attention_core(qs, kn, v, bias, mask):
+    return _core_fwd(qs, kn, v, bias, mask)
+
+
+def _core_fwd_rule(qs, kn, v, bias, mask):
+    return _core_fwd(qs, kn, v, bias, mask), (qs, kn, v, bias, mask)
+
+
+def _core_bwd_rule(res, do):
+    qs, kn, v, bias, mask = res
+    dq, dk, dv, dbias = _core_bwd_pallas(qs, kn, v, bias, mask, do)
+    return dq, dk, dv, dbias, jnp.zeros_like(mask)
+
+
+_attention_core.defvjp(_core_fwd_rule, _core_bwd_rule)
+
+
+def _reference_core(qs, kn, v, bias, mask):
+    """jnp formulation with identical numerics (tests/fallback)."""
+    n, h, t, d = qs.shape
+    nw = mask.shape[0]
+    s = jnp.einsum("nhtd,nhsd->nhts", qs.astype(jnp.float32), kn.astype(jnp.float32))
+    s = s + bias[None]
+    s = s.reshape(n // nw, nw, h, t, t) + mask[None, :, None]
+    s = s.reshape(n, h, t, t)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("nhts,nhsd->nhtd", p.astype(v.dtype), v).astype(qs.dtype)
+
+
+def fused_window_attention(q, k, v, bias, mask, scale):
+    """Full fused cosine window attention.
+
+    Args:
+        q, k, v: (N, H, T, D) projected (unnormalized) q/k/v.
+        bias: (H, T, T) fp32 position bias (already 16*sigmoid'd).
+        mask: (nW, T, T) fp32 additive shift mask (zeros when unshifted).
+        scale: (H,) fp32 exp(clamped logit_scale).
+    Returns:
+        (N, H, T, D) attention output in q's dtype.
+    """
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+    kn = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+    qs = qn * scale[None, :, None, None]
+    return _attention_core(qs.astype(q.dtype), kn.astype(q.dtype), v, bias, mask)
 
 
 def _forward_reference(q, k, v, bias, mask, scale):
-    """jnp formulation with identical numerics (used for the backward pass and
-    as the XLA fallback)."""
-    n, h, t, d = q.shape
-    nw = mask.shape[0]
+    """Unfused jnp reference of the full op (tests)."""
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    qn = qf * jax.lax.rsqrt(jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24))
-    kn = kf * jax.lax.rsqrt(jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24))
-    scores = jnp.einsum("nhtd,nhsd->nhts", qn, kn)
-    scores = scores * scale[None, :, None, None]
-    scores = scores + bias[None]
-    scores = scores.reshape(n // nw, nw, h, t, t) + mask[None, :, None]
-    scores = scores.reshape(n, h, t, t)
-    p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("nhts,nhsd->nhtd", p, v).astype(q.dtype)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def fused_window_attention(q, k, v, bias, mask, scale):
-    """Fused attention core: (N, H, T, D) x3 + (H, T, T) bias + (nW, T, T)
-    mask + (H,) scale -> (N, H, T, D)."""
-    return _forward_pallas(q, k, v, bias, mask, scale)
-
-
-def _fwd(q, k, v, bias, mask, scale):
-    out = _forward_pallas(q, k, v, bias, mask, scale)
-    return out, (q, k, v, bias, mask, scale)
-
-
-def _bwd(residuals, g):
-    q, k, v, bias, mask, scale = residuals
-    _, vjp = jax.vjp(_forward_reference, q, k, v, bias, mask, scale)
-    return vjp(g)
-
-
-fused_window_attention.defvjp(_fwd, _bwd)
+    qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+    kn = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+    qs = qn * scale[None, :, None, None]
+    return _reference_core(qs.astype(q.dtype), kn.astype(q.dtype), v, bias, mask)

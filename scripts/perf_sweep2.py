@@ -18,13 +18,13 @@ from poseidon_tpu.utils.init import enable_compilation_cache, shape_variables
 enable_compilation_cache()
 
 
-def measure(tag, batch=32, iters=30, **cfg_over):
+def measure(tag, batch=32, iters=30, remat=False, **cfg_over):
     base = dict(image_size=128, num_channels=4, num_out_channels=4,
                 channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
                 scan_blocks=True)
     base.update(cfg_over)
     cfg = make_config("B", **base)
-    model = ScOT(config=cfg, dtype=jnp.bfloat16)
+    model = ScOT(config=cfg, dtype=jnp.bfloat16, remat=remat)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, 4, 128, 128), jnp.float32)
     t = jnp.full((batch,), 0.5, jnp.float32)
