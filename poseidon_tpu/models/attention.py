@@ -198,15 +198,17 @@ class WindowAttention(nn.Module):
             out = fused_window_attention(q, k, v, bias, m, scale)
         else:
             # Cosine attention in fp32: L2-normalize q and k along the head dim
-            # (torch F.normalize semantics: x / max(||x||, 1e-12)).
+            # (torch F.normalize semantics: x / max(||x||, 1e-12)). The learned
+            # logit scale is folded into q BEFORE the score matmul — same math,
+            # but it avoids an extra full pass over the fp32 (N, H, T, T)
+            # score tensor (memory-bound hot spot).
             qf = q.astype(jnp.float32)
             kf = k.astype(jnp.float32)
             qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
             kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
-            scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf)
-
             scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
-            scores = scores * scale[None]
+            qf = qf * scale.reshape(1, heads, 1, 1)
+            scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf)
             scores = scores + bias[None]
 
             if mask is not None:

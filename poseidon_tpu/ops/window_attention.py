@@ -7,16 +7,17 @@ shifted-window mask (nW, T, T):
 
     S = qs @ kn^T + bias[h] + mask[n % nW];  P = softmax(S);  O = P @ v
 
-Both passes keep the (T, T) score matrix entirely in VMEM — it never touches
-HBM, unlike the XLA lowering which materializes fp32 scores/probs for the
-backward (the dominant cost of scOT's step time). The backward kernel
-recomputes S and P per (head, window) tile and accumulates the bias gradient
-across windows in the output block (grid iterates windows innermost so the
-revisited block stays resident).
+Both passes keep the (T, T) score matrices entirely in VMEM — they never touch
+HBM, unlike the XLA lowering which materializes fp32 scores/probs (the
+dominant memory traffic of scOT's train step). Grid layout: ONE grid step per
+image, with all of that image's (window, head) pairs processed by a statically
+unrolled loop — so the bias and mask stay VMEM-resident across the whole grid
+and the per-step DMA is just q/k/v/o tiles. The backward kernel recomputes
+S and P and accumulates the bias gradient across grid steps in its (constant
+index map) output block.
 
 The cosine normalization and logit-scale clamping stay OUTSIDE the op (cheap
-elementwise work on (N, H, T, D) tensors) so their gradients come from XLA
-autodiff — the kernel needs no dscale plumbing.
+elementwise work) so their gradients come from XLA autodiff.
 
 Replaces the score pipeline of HF ``Swinv2SelfAttention`` (modeling_swinv2.py:
 479-533, used by /root/reference/scOT/model.py:539). On non-TPU backends the
@@ -39,41 +40,48 @@ def _needs_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _softmax(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(qs_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
-    qs = qs_ref[0, 0].astype(jnp.float32)  # (T, D)
-    kn = k_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(qs, kn, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s + bias_ref[0] + mask_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+def _fwd_kernel(nw: int, heads: int, qs_ref, k_ref, v_ref, bias_ref, mask_ref,
+                o_ref):
+    for w in range(nw):
+        mask_w = mask_ref[w]
+        for h in range(heads):
+            qs = qs_ref[w, h].astype(jnp.float32)  # (T, D)
+            kn = k_ref[w, h].astype(jnp.float32)
+            s = jax.lax.dot_general(qs, kn, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            p = _softmax(s + bias_ref[h] + mask_w)
+            o_ref[w, h] = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[w, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _core_fwd(qs, kn, v, bias, mask):
     n, h, t, d = qs.shape
     nw = mask.shape[0]
-    qkv_spec = pl.BlockSpec((1, 1, t, d), lambda jh, jn: (jn, jh, 0, 0),
+    imgs = n // nw
+    qkv_spec = pl.BlockSpec((nw, h, t, d), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _fwd_kernel,
-        grid=(h, n),  # windows innermost (matches the backward's accumulation)
+        functools.partial(_fwd_kernel, nw, h),
+        grid=(imgs,),
         in_specs=[
             qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((1, t, t), lambda jh, jn: (jh, 0, 0),
+            pl.BlockSpec((h, t, t), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, t), lambda jh, jn: (jn % nw, 0, 0),
+            pl.BlockSpec((nw, t, t), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, t, d), lambda jh, jn: (jn, jh, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, t, d), qs.dtype),
         interpret=_needs_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -81,74 +89,75 @@ def _core_fwd(qs, kn, v, bias, mask):
             bytes_accessed=n * h * t * d * 4 * qs.dtype.itemsize,
             transcendentals=n * h * t * t,
         ),
-    )(qs, kn, v, bias, mask)
+    )(qs.reshape(imgs * nw, h, t, d), kn.reshape(imgs * nw, h, t, d),
+      v.reshape(imgs * nw, h, t, d), bias, mask)
 
 
 # ---------------------------------------------------------------------------
 # Backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(qs_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, dbias_ref):
-    jn = pl.program_id(1)
-    qs = qs_ref[0, 0].astype(jnp.float32)
-    kn = k_ref[0, 0].astype(jnp.float32)
-    vv = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+def _bwd_kernel(nw: int, heads: int, qs_ref, k_ref, v_ref, bias_ref, mask_ref,
+                do_ref, dq_ref, dk_ref, dv_ref, dbias_ref):
+    i = pl.program_id(0)
+    for w in range(nw):
+        mask_w = mask_ref[w]
+        for h in range(heads):
+            qs = qs_ref[w, h].astype(jnp.float32)
+            kn = k_ref[w, h].astype(jnp.float32)
+            vv = v_ref[w, h].astype(jnp.float32)
+            do = do_ref[w, h].astype(jnp.float32)
 
-    # Recompute S and P in VMEM.
-    s = jax.lax.dot_general(qs, kn, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s + bias_ref[0] + mask_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+            s = jax.lax.dot_general(qs, kn, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            p = _softmax(s + bias_ref[h] + mask_w)
 
-    # dV = P^T dO
-    dv_ref[0, 0] = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    # dP = dO V^T ; dS = P * (dP - rowsum(dP * P))
-    dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    # dqs = dS kn ; dkn = dS^T qs
-    dq_ref[0, 0] = jax.lax.dot_general(
-        ds, kn, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_ref[0, 0] = jax.lax.dot_general(
-        ds, qs, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
-    # dbias accumulates over windows (innermost grid dim -> block resident)
-    @pl.when(jn == 0)
-    def _init():
-        dbias_ref[0] = ds
+            dv_ref[w, h] = jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq_ref[w, h] = jax.lax.dot_general(
+                ds, kn, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            dk_ref[w, h] = jax.lax.dot_general(
+                ds, qs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
-    @pl.when(jn > 0)
-    def _acc():
-        dbias_ref[0] += ds
+            if w == 0:
+                @pl.when(i == 0)
+                def _init():
+                    dbias_ref[h] = ds
+
+                @pl.when(i > 0)
+                def _acc():
+                    dbias_ref[h] += ds
+            else:
+                dbias_ref[h] += ds
 
 
 def _core_bwd_pallas(qs, kn, v, bias, mask, do):
     n, h, t, d = qs.shape
     nw = mask.shape[0]
-    qkv_spec = pl.BlockSpec((1, 1, t, d), lambda jh, jn: (jn, jh, 0, 0),
+    imgs = n // nw
+    qkv_spec = pl.BlockSpec((nw, h, t, d), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out_qkv = jax.ShapeDtypeStruct((n, h, t, d), qs.dtype)
-    return pl.pallas_call(
-        _bwd_kernel,
-        grid=(h, n),
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, nw, h),
+        grid=(imgs,),
         in_specs=[
             qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((1, t, t), lambda jh, jn: (jh, 0, 0),
+            pl.BlockSpec((h, t, t), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, t), lambda jh, jn: (jn % nw, 0, 0),
+            pl.BlockSpec((nw, t, t), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             qkv_spec,
         ],
         out_specs=[
             qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((1, t, t), lambda jh, jn: (jh, 0, 0),
+            pl.BlockSpec((h, t, t), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[out_qkv, out_qkv, out_qkv,
@@ -160,6 +169,7 @@ def _core_bwd_pallas(qs, kn, v, bias, mask, do):
             transcendentals=n * h * t * t,
         ),
     )(qs, kn, v, bias, mask, do)
+    return dq, dk, dv, dbias
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +210,8 @@ def fused_window_attention(q, k, v, bias, mask, scale):
     """Full fused cosine window attention.
 
     Args:
-        q, k, v: (N, H, T, D) projected (unnormalized) q/k/v.
+        q, k, v: (N, H, T, D) projected (unnormalized) q/k/v; N must be a
+            multiple of the window count nW (windows of one image contiguous).
         bias: (H, T, T) fp32 position bias (already 16*sigmoid'd).
         mask: (nW, T, T) fp32 additive shift mask (zeros when unshifted).
         scale: (H,) fp32 exp(clamped logit_scale).
