@@ -31,10 +31,14 @@ def main():
 
     # Best measured round-1 config: unrolled stages, XLA attention (beats the
     # fused Pallas kernel at these window sizes), fused QKV, slice-based CPB,
-    # per-chip batch 48 (sweet spot: 32 -> 384, 48 -> 404, 64 -> 365 samples/s).
+    # bf16 scores (production pretraining mode; loss matches fp32 scores to
+    # ~1e-7 on this step), per-chip batch 48.
+    # Progression: 167 (initial) -> 317 (fused QKV) -> 404 (slice CPB) ->
+    # 468 (folded scale) -> 568 samples/s (bf16 scores).
     batch = 48
     cfg = make_config("B", image_size=128, num_channels=4, num_out_channels=4,
-                      channel_slice_list=(0, 1, 3, 4), use_conditioning=True)
+                      channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
+                      score_dtype="bfloat16")
     model = ScOT(config=cfg, dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
@@ -111,6 +115,7 @@ def main():
             "flops_per_step": flops_per_step,
             "batch": batch,
             "device": str(kind),
+            "score_dtype": "bfloat16",
             "loss": float(loss),
         },
     }))

@@ -54,6 +54,11 @@ class ScOTConfig:
     # Attention implementation: "xla" (pure jnp, XLA-fused) or "pallas"
     # (fused VMEM-resident TPU kernel; falls back to interpret mode off-TPU).
     attention_impl: str = "xla"
+    # Attention score dtype: "float32" (reference numerics, default) or
+    # "bfloat16" (opt-in speed mode: halves the score-tensor HBM traffic that
+    # dominates the step time; softmax runs in bf16 so results deviate from
+    # the fp32 reference — do not use for checkpoint-parity evaluation).
+    score_dtype: str = "float32"
     # Compile the transformer stages as lax.scan over (unshifted, shifted)
     # block pairs: identical numerics, ~depth/2x smaller HLO and much faster
     # XLA compiles. Params gain a leading pair axis (stage_{i}_pairs/...);

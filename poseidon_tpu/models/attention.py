@@ -141,6 +141,7 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
     initializer_range: float = 0.02
     impl: str = "xla"  # "xla" | "pallas"
+    score_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -208,12 +209,14 @@ class WindowAttention(nn.Module):
             kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
             scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
             qf = qf * scale.reshape(1, heads, 1, 1)
-            scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf)
-            scores = scores + bias[None]
+            sd = self.score_dtype
+            scores = jnp.einsum("bhtd,bhsd->bhts", qf.astype(sd), kf.astype(sd),
+                                preferred_element_type=sd)
+            scores = scores + bias[None].astype(sd)
 
             if mask is not None:
                 nw = mask.shape[0]
-                m = jnp.asarray(mask, dtype=jnp.float32)
+                m = jnp.asarray(mask, dtype=sd)
                 # Mask added twice in the HF reference; a single 2x add
                 # reproduces the exact pre-softmax logits.
                 scores = scores.reshape(bnw // nw, nw, heads, t, t) + 2.0 * m[None, :, None]

@@ -140,6 +140,7 @@ class SwinBlock(nn.Module):
             dtype=self.dtype,
             initializer_range=cfg.initializer_range,
             impl=cfg.attention_impl,
+            score_dtype=jnp.bfloat16 if cfg.score_dtype == "bfloat16" else jnp.float32,
             name="attn",
         )(windows, mask, deterministic)
 
