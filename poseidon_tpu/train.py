@@ -145,7 +145,9 @@ def main(argv=None):
         config = {**config, **MODEL_MAP[config["model_name"]]}
 
     # checkpoint dir convention <ckpt>/<project>/<run> (train.py:152-169)
-    run_name = params.wandb_run_name or f"run-{np.random.randint(1 << 30):08x}"
+    import time as _time
+
+    run_name = params.wandb_run_name or _time.strftime("run-%Y%m%d-%H%M%S")
     ckpt_dir = os.path.join(params.checkpoint_path, params.wandb_project_name, run_name)
     ckpt_dir = broadcast_object(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
