@@ -30,6 +30,10 @@ class TrainingArguments:
     max_grad_norm: float = 1.0
     seed: int = 0
     logging_steps: int = 5
+    # Evaluate/save every N epochs (1 = per-epoch like the reference; raise
+    # for tiny epochs where orbax saves dominate wall time).
+    eval_every_epochs: int = 1
+    save_every_epochs: int = 1
     save_total_limit: int = 1
     load_best_model_at_end: bool = True
     metric_for_best_model: str = "loss"

@@ -268,7 +268,9 @@ class Trainer:
                              "train_time_s": _time.time() - t_epoch,
                              "train_loss": running / max(n_running, 1)}
 
-            if self.eval_dataset is not None:
+            do_eval = (self.eval_dataset is not None
+                       and (epoch + 1) % max(a.eval_every_epochs, 1) == 0)
+            if do_eval:
                 eval_metrics = self.evaluate()
                 epoch_metrics.update({f"eval_{k}": v for k, v in eval_metrics.items()})
                 key = f"eval_{a.metric_for_best_model}"
@@ -284,7 +286,9 @@ class Trainer:
                     patience_left -= 1
                     if patience_left <= 0:
                         stop = True
-            self.save_checkpoint(a.output_dir, epoch, best_metric, best=False)
+            if (epoch + 1) % max(a.save_every_epochs, 1) == 0 or stop \
+                    or epoch == a.num_train_epochs - 1:
+                self.save_checkpoint(a.output_dir, epoch, best_metric, best=False)
             self.log(epoch_metrics)
             history.append(epoch_metrics)
             if stop:
