@@ -102,10 +102,10 @@ class DataLoader:
                 global_batch = np.concatenate([global_batch, pad])
             local = global_batch[self.host_id * self.local_batch:
                                  (self.host_id + 1) * self.local_batch]
-            # valid count within THIS host's slice
+            # valid count within THIS host's slice, plus the global count
             lo_v = self.host_id * self.local_batch
             local_valid = int(np.clip(valid - lo_v, 0, self.local_batch))
-            yield local, local_valid
+            yield local, local_valid, valid
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Yield host-local batches for one epoch, with background prefetch."""
@@ -116,12 +116,13 @@ class DataLoader:
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for local_idx, valid in self._batch_index_lists(epoch):
+                    for local_idx, valid, valid_global in self._batch_index_lists(epoch):
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, local_idx))
                         batch = _collate(samples)
                         batch["_valid"] = np.int32(valid)
+                        batch["_valid_global"] = np.int32(valid_global)
                         q.put(batch)
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)

@@ -214,7 +214,7 @@ class Trainer:
         rep = replicated(self.mesh)
         out = {}
         for k, v in batch.items():
-            if k == "_valid":
+            if k.startswith("_valid"):
                 continue
             out[k] = jax.device_put(np.asarray(v), sh)
         return out
@@ -318,14 +318,17 @@ class Trainer:
         preds, labels, losses = [], [], []
         for batch in loader.epoch(0):
             valid = int(batch.pop("_valid"))
+            valid_global = int(batch.pop("_valid_global", valid))
             dbatch = self._device_batch(batch)
             loss, pred = eval_step(self.state, dbatch)
-            pred = _to_host(pred)
-            lbl = batch["labels"]
             if process_count() > 1:
-                lbl = _to_host(jax.device_put(lbl))
-            preds.append(pred[:valid] if process_count() == 1 else pred)
-            labels.append(np.asarray(lbl)[:valid] if process_count() == 1 else np.asarray(lbl))
+                # Each host sees the full global batch after allgather; trim
+                # with the GLOBAL valid count.
+                preds.append(_to_host(pred)[:valid_global])
+                labels.append(_to_host(dbatch["labels"])[:valid_global])
+            else:
+                preds.append(np.asarray(pred)[:valid])
+                labels.append(np.asarray(batch["labels"])[:valid])
             losses.append(float(loss))
         return np.concatenate(preds), np.concatenate(labels), np.asarray(losses)
 
