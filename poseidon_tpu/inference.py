@@ -141,6 +141,11 @@ def get_test_set(dataset_name: str, data_path: str, initial_time: int,
         time_step_size=final_time - initial_time, max_num_time_steps=1, **kwargs)
 
 
+def get_first_n_inputs(dataset, n: int) -> np.ndarray:
+    """First n input fields of a dataset (reference inference.py:274-281)."""
+    return np.stack([dataset[i]["pixel_values"] for i in range(n)])
+
+
 def get_trajectories(dataset_name: str, data_path: str, initial_time: int,
                      final_time: int, time_step_size: int,
                      num_trajectories: int = -1, **kwargs):
