@@ -173,9 +173,11 @@ class WindowAttention(nn.Module):
         if self.qkv_bias:
             q = q + wq[1].astype(q.dtype)
             v = v + wv[1].astype(v.dtype)
-        q = q.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(bnw, t, heads, hd).transpose(0, 2, 1, 3)
+        # Keep the natural (N, T, H, D) layout — einsum contracts directly,
+        # avoiding explicit head transposes (XLA layout copies).
+        q = q.reshape(bnw, t, heads, hd)
+        k = k.reshape(bnw, t, heads, hd)
+        v = v.reshape(bnw, t, heads, hd)
 
         logit_scale = self.param(
             "logit_scale",
@@ -196,7 +198,9 @@ class WindowAttention(nn.Module):
                 # The HF reference adds the shift mask twice
                 # (modeling_swinv2.py:513-520); bake the 2x in.
                 m = 2.0 * jnp.asarray(mask, jnp.float32)
-            out = fused_window_attention(q, k, v, bias, m, scale)
+            out = fused_window_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), bias, m, scale).transpose(0, 2, 1, 3)
         else:
             # Cosine attention in fp32: L2-normalize q and k along the head dim
             # (torch F.normalize semantics: x / max(||x||, 1e-12)). The learned
@@ -208,9 +212,9 @@ class WindowAttention(nn.Module):
             qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
             kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
             scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
-            qf = qf * scale.reshape(1, heads, 1, 1)
+            qf = qf * scale.reshape(1, 1, heads, 1)
             sd = self.score_dtype
-            scores = jnp.einsum("bhtd,bhsd->bhts", qf.astype(sd), kf.astype(sd),
+            scores = jnp.einsum("bthd,bshd->bhts", qf.astype(sd), kf.astype(sd),
                                 preferred_element_type=sd)
             scores = scores + bias[None].astype(sd)
 
@@ -226,9 +230,9 @@ class WindowAttention(nn.Module):
             if self.attn_drop > 0.0 and not deterministic:
                 probs = nn.Dropout(self.attn_drop)(probs, deterministic=False)
             probs = probs.astype(v.dtype)
-            out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v)
 
-        out = out.transpose(0, 2, 1, 3).reshape(bnw, t, c)
+        out = out.reshape(bnw, t, c)
         out = dense(self.dim, name="proj")(out)
         if self.proj_drop > 0.0 and not deterministic:
             out = nn.Dropout(self.proj_drop)(out, deterministic=False)
