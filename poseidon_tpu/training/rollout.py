@@ -48,14 +48,17 @@ def autoregressive_rollout(
 
     def body(carry, t):
         pred = step_fn(carry, t)
-        pred = jax.lax.stop_gradient(pred)
-        nxt = jnp.concatenate([pred, static], axis=1) if has_static else pred
-        return nxt, pred if output_all_steps else None
+        # The reference detaches only the FED-BACK input (trainer.py:489):
+        # per-step losses still get gradients through that step's forward,
+        # but nothing flows across steps.
+        fed = jax.lax.stop_gradient(pred)
+        nxt = jnp.concatenate([fed, static], axis=1) if has_static else fed
+        return nxt, pred if output_all_steps else pred[:, :num_out_channels]
 
     final, stacked = jax.lax.scan(body, pixel_values, step_times)
     if output_all_steps:
         return jnp.swapaxes(stacked, 0, 1)  # (n, B, ...) -> (B, n, ...)
-    return final[:, :num_out_channels]
+    return stacked[-1]
 
 
 def rollout_loss(

@@ -154,7 +154,10 @@ class Trainer:
             return scot_loss(pred, labels, cfg)
 
         new_bs = None
-        if self.ar_steps is not None and cfg.use_conditioning and not train:
+        # The reference routes BOTH training and prediction through the AR
+        # rollout whenever ar_steps is set (trainer.py:452, 605-610); per-step
+        # losses carry gradients through their own forward only.
+        if self.ar_steps is not None and cfg.use_conditioning:
             def step_fn(x, t):
                 return self.model.apply(self._variables(params, batch_stats), x, t)
 

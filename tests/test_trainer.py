@@ -210,3 +210,41 @@ class TestSharding:
              "time": np.ones((8,), np.float32)})
         shards = batch["pixel_values"].sharding
         assert shards.spec[0] == "data"
+
+
+class TestRolloutGradients:
+    def test_rollout_loss_has_gradient(self):
+        """Per-step rollout losses must carry gradients through each step's
+        own forward (the reference detaches only the fed-back input)."""
+        from poseidon_tpu.training.rollout import rollout_loss
+
+        w = jnp.ones((1,))
+
+        def step_fn(x, t):
+            return x * w[0]
+
+        def loss(w_):
+            def sf(x, t):
+                return x * w_[0]
+
+            l, _ = rollout_loss(
+                sf, lambda a, b: jnp.mean(jnp.abs(a - b)),
+                jnp.ones((2, 1, 4, 4)), jnp.ones((2,)), jnp.zeros((2, 1, 4, 4)),
+                3, 1)
+            return l
+
+        g = jax.grad(loss)(w)
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_final_prediction_has_gradient(self):
+        from poseidon_tpu.training.rollout import autoregressive_rollout
+
+        def loss(w_):
+            out = autoregressive_rollout(
+                lambda x, t: x * w_[0], jnp.ones((1, 1, 2, 2)), jnp.ones((1,)),
+                2, 1)
+            return jnp.sum(out)
+
+        g = jax.grad(loss)(jnp.ones((1,)))
+        # d/dw of (stop(x*w)*w) = stop(x*w) = w -> gradient 4*w = 4
+        np.testing.assert_allclose(float(g[0]), 4.0, rtol=1e-6)
