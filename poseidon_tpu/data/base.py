@@ -18,6 +18,11 @@ import shutil
 from abc import ABC, abstractmethod
 from typing import Dict, List, Optional, Sequence, Tuple
 
+# HDF5 locking hygiene (reference scOT/train.py:16, configs/sweep.yaml:9):
+# our loader reads from a thread pool, and multi-process training may open the
+# same file from several hosts; disable file locking before libhdf5 spins up.
+os.environ.setdefault("HDF5_USE_FILE_LOCKING", "FALSE")
+
 import numpy as np
 
 from .time_sampling import (

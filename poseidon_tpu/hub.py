@@ -497,6 +497,50 @@ def save_pretrained(save_dir: str, params: dict, cfg: ScOTConfig,
         json.dump(d, f, indent=2)
 
 
+def resolve_model_path(model_dir_or_repo_id: str) -> str:
+    """Resolve a model source to a local directory. A string that is not an
+    existing local directory is treated as a HF Hub repo id (e.g.
+    ``"camlab-ethz/Poseidon-B"``, reference README.md:27-33) and downloaded
+    via ``huggingface_hub.snapshot_download`` (honors HF_HOME cache; raises a
+    clear error when offline)."""
+    if os.path.isdir(model_dir_or_repo_id):
+        return model_dir_or_repo_id
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:  # pragma: no cover
+        raise FileNotFoundError(
+            f"{model_dir_or_repo_id!r} is not a local directory and "
+            "huggingface_hub is unavailable to download it") from e
+    try:
+        return snapshot_download(
+            repo_id=model_dir_or_repo_id,
+            allow_patterns=["config.json", "model.safetensors",
+                            "pytorch_model.bin"])
+    except Exception as e:
+        raise FileNotFoundError(
+            f"{model_dir_or_repo_id!r} is not a local checkpoint directory and "
+            f"downloading it from the HF Hub failed ({type(e).__name__}: {e}). "
+            "If you are offline, pre-download it with huggingface-cli or pass "
+            "a local path.") from e
+
+
+def push_to_hub(repo_id: str, export_dir: str) -> bool:
+    """Upload a ``save_pretrained`` export to the HF Hub (reference
+    train.py:412-413 ``model.push_to_hub``). Returns True on success; callers
+    keep the local export either way."""
+    try:
+        from huggingface_hub import HfApi
+
+        api = HfApi()
+        api.create_repo(repo_id=repo_id, exist_ok=True)
+        api.upload_folder(repo_id=repo_id, folder_path=export_dir)
+        return True
+    except Exception as e:
+        print(f"Hub push to {repo_id!r} failed ({type(e).__name__}: {e}); "
+              f"checkpoint remains exported at {export_dir}")
+        return False
+
+
 def from_pretrained(
     model_dir: str,
     config: Optional[ScOTConfig] = None,
@@ -504,6 +548,9 @@ def from_pretrained(
     dtype=None,
 ):
     """Load a reference PyTorch checkpoint into a Flax ScOT.
+
+    ``model_dir`` may be a local directory or a HF Hub repo id
+    ("camlab-ethz/Poseidon-{T,B,L}", reference README.md:27-33).
 
     Mirrors ``ScOT.from_pretrained(path, config=new_config,
     ignore_mismatched_sizes=True)`` (reference train.py:330-335): with a new
@@ -517,6 +564,7 @@ def from_pretrained(
 
     from .models.scot import ScOT
 
+    model_dir = resolve_model_path(model_dir)
     cfg = config if config is not None else load_config(model_dir)
     model = ScOT(config=cfg, dtype=dtype or jnp.float32)
 

@@ -23,6 +23,9 @@ import json
 import os
 from typing import List, Optional
 
+# Reference scOT/train.py:16 — avoid HDF5 file-locking contention.
+os.environ.setdefault("HDF5_USE_FILE_LOCKING", "FALSE")
+
 import numpy as np
 
 from .config import ScOTConfig
@@ -38,38 +41,53 @@ from .training import Trainer, TrainingArguments
 
 def make_compute_metrics(channel_slice_list, printable_channel_description,
                          full_data: bool = False):
-    """Relative + absolute L1 stat battery (reference inference.py:76-200)."""
+    """Relative + absolute L1 stat battery (reference inference.py:76-200).
+    ``full_data`` additionally attaches the per-sample error lists
+    (``relative_full_data`` / ``full_data`` keys, reference inference.py:140-144)."""
 
     def get_stats(errors, prefix):
         return {
-            f"median_{prefix}_l1_error": float(np.median(errors)),
-            f"mean_{prefix}_l1_error": float(np.mean(errors)),
-            f"std_{prefix}_l1_error": float(np.std(errors)),
-            f"min_{prefix}_l1_error": float(np.min(errors)),
-            f"max_{prefix}_l1_error": float(np.max(errors)),
+            f"median_{prefix}l1_error": float(np.median(errors)),
+            f"mean_{prefix}l1_error": float(np.mean(errors)),
+            f"std_{prefix}l1_error": float(np.std(errors)),
+            f"min_{prefix}l1_error": float(np.min(errors)),
+            f"max_{prefix}l1_error": float(np.max(errors)),
         }
 
     def compute_metrics(preds, labels):
         out = {}
         groups = len(channel_slice_list) - 1
-        rel_stats, abs_stats = [], []
+        rels, abss, rel_stats, abs_stats = [], [], [], []
         for i in range(groups):
             lo, hi = channel_slice_list[i], channel_slice_list[i + 1]
             rel = relative_lp_error(preds[:, lo:hi], labels[:, lo:hi], p=1)
             ab = lp_error(preds[:, lo:hi], labels[:, lo:hi], p=1)
-            rel_stats.append(get_stats(rel, "relative"))
-            abs_stats.append(get_stats(ab, "absolute"))
+            rels.append(rel)
+            abss.append(ab)
+            rel_stats.append(get_stats(rel, "relative_"))
+            abs_stats.append(get_stats(ab, ""))
         if groups == 1:
             out.update(rel_stats[0])
             out.update(abs_stats[0])
+            if full_data:
+                out["relative_full_data"] = rels[0].tolist()
+                out["full_data"] = abss[0].tolist()
         else:
             out["mean_relative_l1_error"] = float(
                 np.mean([s["mean_relative_l1_error"] for s in rel_stats]))
             out["mean_over_median_relative_l1_error"] = float(
                 np.mean([s["median_relative_l1_error"] for s in rel_stats]))
-            for name, rs, as_ in zip(printable_channel_description, rel_stats, abs_stats):
+            out["mean_l1_error"] = float(
+                np.mean([s["mean_l1_error"] for s in abs_stats]))
+            out["mean_over_median_l1_error"] = float(
+                np.mean([s["median_l1_error"] for s in abs_stats]))
+            for i, (name, rs, as_) in enumerate(
+                    zip(printable_channel_description, rel_stats, abs_stats)):
                 for k, v in {**rs, **as_}.items():
                     out[f"{name}/{k}"] = v
+                if full_data:
+                    out[f"{name}/relative_full_data"] = rels[i].tolist()
+                    out[f"{name}/full_data"] = abss[i].tolist()
         return out
 
     return compute_metrics
@@ -120,7 +138,8 @@ def get_trainer(model_path: str, batch_size: int, dataset,
     trainer = Trainer(model, args, eval_dataset=dataset,
                       compute_metrics=compute_metrics, variables=variables)
     if output_all_steps:
-        trainer.set_ar_steps(trainer.ar_steps, output_all_steps=True)
+        # Remembered until ar_steps is actually set (e.g. by rollout()).
+        trainer.set_ar_steps(None, output_all_steps=True)
     return trainer
 
 
@@ -198,7 +217,8 @@ def mode_eval(params):
     ds = get_test_set(params.dataset, params.data_path,
                       params.initial_time, params.final_time,
                       num_trajectories=-1)
-    trainer = get_trainer(params.model_path, params.batch_size, ds)
+    trainer = get_trainer(params.model_path, params.batch_size, ds,
+                          full_data=getattr(params, "full_data", False))
     if params.ar_steps is not None:
         trainer.set_ar_steps(params.ar_steps)
     out = trainer.predict(ds)
@@ -225,13 +245,16 @@ def mode_eval_accumulation_error(params):
     _, traj = get_trajectories(params.dataset, params.data_path,
                                params.initial_time, params.final_time, dt,
                                num_trajectories=-1)
+    # Full per-step stat battery (reference inference.py:736-908): every
+    # relative+absolute stat per channel group at each rollout step.
+    battery = make_compute_metrics(
+        ds.channel_slice_list, ds.printable_channel_description,
+        full_data=getattr(params, "full_data", False))
     rows = []
     for si, t2 in enumerate(steps):
-        rel = relative_lp_error(preds[:, si], traj[:, si], p=1)
         row = {"model": params.model_path, "dataset": params.dataset,
-               "time": t2,
-               "mean_relative_l1_error": float(np.mean(rel)),
-               "median_relative_l1_error": float(np.median(rel))}
+               "initial_time": params.initial_time, "final_time": t2,
+               **battery(preds[:, si], traj[:, si])}
         rows.append(row)
         append_csv(params.file, row)
     print(json.dumps(rows, default=float))
@@ -309,6 +332,9 @@ def main(argv=None):
                                  "eval_sweep", "eval_accumulation_error",
                                  "eval_resolutions"])
     parser.add_argument("--num_samples", type=int, default=4)
+    parser.add_argument("--full_data", action="store_true",
+                        help="Attach per-sample error lists to the output "
+                             "(reference inference.py:371)")
     parser.add_argument("--resolutions", type=int, nargs="+", default=[32, 64, 96, 128])
     parser.add_argument("--wandb_project", type=str, default=None)
     parser.add_argument("--wandb_entity", type=str, default=None)

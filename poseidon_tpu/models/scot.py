@@ -455,13 +455,28 @@ def apply_pixel_mask(prediction: jax.Array, labels: jax.Array,
     return jnp.where(mask, labels.astype(prediction.dtype), prediction)
 
 
-def scot_loss(prediction: jax.Array, labels: jax.Array, config: ScOTConfig) -> jax.Array:
+def scot_loss(prediction: jax.Array, labels: jax.Array, config: ScOTConfig,
+              sample_weights: Optional[jax.Array] = None) -> jax.Array:
     """L1/L2 loss, optionally per-channel-group normalized: mean over groups of
-    ``loss(pred_g, label_g) / (loss(label_g, 0) + 1e-10)``."""
-    if config.p == 1:
-        loss_fn = lambda a, b: jnp.mean(jnp.abs(a - b))
+    ``loss(pred_g, label_g) / (loss(label_g, 0) + 1e-10)``.
+
+    ``sample_weights`` (B,) masks samples out of every mean (numerator AND
+    normalization denominator) — used to exclude loader padding from eval loss
+    so padded batches match the unpadded computation exactly."""
+    if sample_weights is None:
+        _mean = jnp.mean
     else:
-        loss_fn = lambda a, b: jnp.mean((a - b) ** 2)
+        w = sample_weights.astype(jnp.float32)
+
+        def _mean(x):
+            wb = w.reshape((-1,) + (1,) * (x.ndim - 1))
+            denom = jnp.sum(w) * float(np.prod(x.shape[1:]))
+            return jnp.sum(x.astype(jnp.float32) * wb) / jnp.maximum(denom, 1e-10)
+
+    if config.p == 1:
+        loss_fn = lambda a, b: _mean(jnp.abs(a - b))
+    else:
+        loss_fn = lambda a, b: _mean((a - b) ** 2)
     slices = config.channel_slice_list_normalized_loss
     if slices is None:
         return loss_fn(prediction, labels)

@@ -20,6 +20,10 @@ import json
 import os
 import sys
 
+# Reference scOT/train.py:16 — avoid HDF5 file-locking contention across
+# loader threads / training processes.
+os.environ.setdefault("HDF5_USE_FILE_LOCKING", "FALSE")
+
 import jax
 import numpy as np
 
@@ -157,10 +161,19 @@ def main(argv=None):
 
     model_config = build_model_config(config, train_ds, time_involved)
 
+    # ``batch_size`` in the config is PER-DEVICE, as in the reference
+    # (train.py:280 passes it to per_device_train_batch_size under accelerate);
+    # the Trainer takes the global batch, so scale by the data-parallel size.
+    num_model_shards = int(config.get("num_model_shards", 1))
+    dp_size = max(jax.device_count() // num_model_shards, 1)
+    global_batch = int(config["batch_size"]) * dp_size
+
     args = TrainingArguments(
         output_dir=ckpt_dir,
-        train_batch_size=config["batch_size"],
-        eval_batch_size=config["batch_size"],
+        train_batch_size=global_batch,
+        eval_batch_size=global_batch,
+        num_model_shards=num_model_shards,
+        gradient_checkpointing=bool(config.get("gradient_checkpointing", False)),
         num_train_epochs=config["num_epochs"],
         learning_rate=config["lr"],
         learning_rate_embedding_recovery=(
@@ -190,7 +203,8 @@ def main(argv=None):
         if is_primary() and replaced:
             print(f"Re-initialized {len(replaced)} mismatched tensors "
                   f"(embedding/recovery replacement)")
-    model = ScOT(config=model_config, dtype=_dtype(args.compute_dtype))
+    model = ScOT(config=model_config, dtype=_dtype(args.compute_dtype),
+                 remat=args.gradient_checkpointing)
 
     channel_slices = list(train_ds.channel_slice_list)
     channel_names = list(train_ds.printable_channel_description)
@@ -211,9 +225,10 @@ def main(argv=None):
     trainer.save_model(ckpt_dir)
 
     if params.push_to_hf_hub is not None and is_primary():
-        # Zero-egress equivalent of the reference's Hub push (train.py:412-413):
-        # export a reference-compatible checkpoint dir ready to upload.
-        from .hub import save_pretrained
+        # Reference Hub push (train.py:412-413): export a reference-compatible
+        # checkpoint dir, then upload it when Hub credentials/network exist
+        # (the local export is kept either way).
+        from .hub import push_to_hub, save_pretrained
 
         export_dir = os.path.join(ckpt_dir, "hub_export")
         save_pretrained(export_dir,
@@ -221,8 +236,9 @@ def main(argv=None):
                         model_config,
                         batch_stats=(jax.tree.map(np.asarray, trainer.state.batch_stats)
                                      if trainer.state.batch_stats is not None else None))
-        print(f"Exported Hub-compatible checkpoint to {export_dir} "
-              f"(repo name requested: {params.push_to_hf_hub})")
+        print(f"Exported Hub-compatible checkpoint to {export_dir}")
+        if push_to_hub(params.push_to_hf_hub, export_dir):
+            print(f"Pushed to HF Hub repo {params.push_to_hf_hub}")
 
     # ----- post-training test protocol (reference train.py:415-537) --------
     do_test = (params.max_num_train_time_steps is None
@@ -259,20 +275,40 @@ def main(argv=None):
     except Exception:
         out_ds = None
 
+    def _plot(pred, prefix):
+        # Prediction image grids (reference train.py:483-537): logged to W&B
+        # when a run is active, always saved as PNG next to the checkpoints.
+        if not is_primary() or pred.predictions.shape[0] < 4:
+            return
+        try:
+            from .utils.plotting import create_predictions_plot
+
+            fname = prefix.strip("/").replace("/", "_") + "_predictions.png"
+            create_predictions_plot(
+                pred.predictions, pred.label_ids,
+                out_path=os.path.join(ckpt_dir, fname),
+                wandb_prefix=prefix.strip("/"), seed=SEED)
+        except Exception as e:  # plotting must never kill the test protocol
+            print(f"prediction plot failed for {prefix}: {e}")
+
     results = {}
     pred = trainer.predict(test_ds, metric_key_prefix="test/")
     results.update(pred.metrics)
+    _plot(pred, "test")
     if out_ds is not None:
         pred = trainer.predict(out_ds, metric_key_prefix="test_out_dist/")
         results.update(pred.metrics)
+        _plot(pred, "test_out_dist")
     if time_involved and test_kwargs["time_step_size"] // 2 > 0:
         trainer.set_ar_steps(test_kwargs["time_step_size"] // 2)
         pred = trainer.predict(test_ds, metric_key_prefix="test/ar/")
         results.update(pred.metrics)
+        _plot(pred, "test/ar")
         if out_ds is not None:
             trainer.set_ar_steps(out_kwargs["time_step_size"] // 2)
             pred = trainer.predict(out_ds, metric_key_prefix="test_out_dist/ar/")
             results.update(pred.metrics)
+            _plot(pred, "test_out_dist/ar")
         trainer.set_ar_steps(None)
 
     if is_primary():

@@ -50,7 +50,9 @@ def label_params(params, use_embeddings_group: bool, use_time_group: bool):
         if use_time_group and is_cln:
             return "time_embedding"
         is_norm = any(f in parts for f in _NORM_FRAGMENTS)
-        is_bias = parts[-1] == "bias"
+        # torch's get_decay_parameter_names excludes any param whose NAME
+        # contains "bias" — this also catches PatchRecovery's projection_bias.
+        is_bias = "bias" in parts[-1]
         if not is_norm and not is_bias:
             return "decay"
         return "no_decay"

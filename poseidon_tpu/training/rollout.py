@@ -26,6 +26,52 @@ import jax.numpy as jnp
 StepFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x, time) -> prediction
 
 
+def _step_times(time: jax.Array, ar_steps: Union[int, Sequence[float]]) -> jax.Array:
+    if isinstance(ar_steps, int):
+        return jnp.broadcast_to(time / ar_steps, (ar_steps,) + time.shape)
+    factors = jnp.asarray(list(ar_steps), dtype=time.dtype)
+    return factors[:, None] * time[None, :]
+
+
+def autoregressive_rollout_stateful(
+    step_fn: Callable,
+    pixel_values: jax.Array,
+    time: jax.Array,
+    ar_steps: Union[int, Sequence[float]],
+    num_out_channels: int,
+    state=None,
+):
+    """AR rollout whose step carries mutable state (e.g. BatchNorm running
+    stats) and receives the step index (for per-step dropout rngs).
+
+    ``step_fn(x, time, step_index, state) -> (prediction, new_state)`` — the
+    reference runs every rollout step in train mode during AR training
+    (trainer.py:468-503), so dropout/drop-path fire and BN stats update
+    sequentially across steps.
+
+    Returns ``(all_predictions (B, n, C_out, H, W), final_state)``.
+    """
+    c_in = pixel_values.shape[1]
+    has_static = c_in > num_out_channels
+    static = pixel_values[:, num_out_channels:] if has_static else None
+    step_times = _step_times(time, ar_steps)
+    n = step_times.shape[0]
+
+    def body(carry, xs):
+        x, st = carry
+        t, i = xs
+        pred, st = step_fn(x, t, i, st)
+        # Detach only the FED-BACK input (reference trainer.py:489): per-step
+        # losses keep gradients through their own forward, nothing crosses steps.
+        fed = jax.lax.stop_gradient(pred)
+        nxt = jnp.concatenate([fed, static], axis=1) if has_static else fed
+        return (nxt, st), pred
+
+    (_, final_state), stacked = jax.lax.scan(
+        body, (pixel_values, state), (step_times, jnp.arange(n)))
+    return jnp.swapaxes(stacked, 0, 1), final_state
+
+
 def autoregressive_rollout(
     step_fn: StepFn,
     pixel_values: jax.Array,
@@ -40,11 +86,7 @@ def autoregressive_rollout(
     has_static = c_in > num_out_channels
     static = pixel_values[:, num_out_channels:] if has_static else None
 
-    if isinstance(ar_steps, int):
-        step_times = jnp.broadcast_to(time / ar_steps, (ar_steps,) + time.shape)
-    else:
-        factors = jnp.asarray(list(ar_steps), dtype=time.dtype)
-        step_times = factors[:, None] * time[None, :]
+    step_times = _step_times(time, ar_steps)
 
     def body(carry, t):
         pred = step_fn(carry, t)

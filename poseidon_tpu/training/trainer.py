@@ -30,7 +30,7 @@ from ..parallel.host import is_primary, process_count, process_index
 from ..parallel.mesh import batch_sharding, make_mesh, params_shardings, replicated
 from .arguments import TrainingArguments
 from .optimizer import build_optimizer
-from .rollout import autoregressive_rollout, rollout_loss
+from .rollout import autoregressive_rollout_stateful
 
 
 class TrainState(struct.PyTreeNode):
@@ -38,6 +38,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     batch_stats: Any = None  # only for the resnet residual variant
+    # Device-side running loss sum for the current epoch: accumulated inside
+    # the jitted step so the host never syncs per step (the HF Trainer the
+    # reference inherits keeps its tr_loss on device the same way).
+    loss_sum: Any = None
 
 
 def _to_host(x) -> np.ndarray:
@@ -76,6 +80,7 @@ class Trainer:
                     f"size ({data_size} devices)")
         self.ar_steps: Union[None, int, Sequence[float]] = None
         self.output_all_steps = False
+        self._want_all_steps = False
         self._jit_cache: Dict = {}
         self._log_file = None
         self._wandb = None
@@ -121,13 +126,20 @@ class Trainer:
         if bs is not None:
             bs = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), replicated(self.mesh)), bs)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=opt_state, batch_stats=bs)
+                           opt_state=opt_state, batch_stats=bs,
+                           loss_sum=jnp.zeros((), jnp.float32))
         return state, tx
 
-    def set_ar_steps(self, ar_steps=None, output_all_steps: bool = False):
-        """Configure autoregressive prediction (reference trainer.py:447-450)."""
+    def set_ar_steps(self, ar_steps=None, output_all_steps: Optional[bool] = None):
+        """Configure autoregressive prediction (reference trainer.py:447-450).
+
+        ``output_all_steps=None`` keeps the previously requested value, so it
+        can be set once (e.g. by ``get_trainer``) before ar_steps is known."""
         self.ar_steps = ar_steps
-        self.output_all_steps = bool(ar_steps is not None and output_all_steps)
+        if output_all_steps is not None:
+            self._want_all_steps = bool(output_all_steps)
+        self.output_all_steps = bool(
+            ar_steps is not None and getattr(self, "_want_all_steps", False))
 
     # -- core steps ---------------------------------------------------------
     def _variables(self, params, batch_stats):
@@ -136,53 +148,68 @@ class Trainer:
             v["batch_stats"] = batch_stats
         return v
 
-    def _loss_and_pred(self, params, batch_stats, batch, rng, train: bool):
+    def _loss_and_pred(self, params, batch_stats, batch, rng, train: bool,
+                       sample_weights=None):
         cfg = self.config
         mutable = ["batch_stats"] if (batch_stats is not None and train) else False
         rngs = {"dropout": rng} if train else None
-
-        def fwd(x, t):
-            out = self.model.apply(
-                self._variables(params, batch_stats), x, t,
-                deterministic=not train, rngs=rngs, mutable=mutable)
-            return out if not mutable else out  # (pred, vars) when mutable
 
         pixel_mask = batch.get("pixel_mask")
 
         def masked_loss(pred, labels):
             pred = apply_pixel_mask(pred, labels, pixel_mask)
-            return scot_loss(pred, labels, cfg)
+            return scot_loss(pred, labels, cfg, sample_weights=sample_weights)
 
         new_bs = None
         # The reference routes BOTH training and prediction through the AR
         # rollout whenever ar_steps is set (trainer.py:452, 605-610); per-step
-        # losses carry gradients through their own forward only.
-        if self.ar_steps is not None and cfg.use_conditioning:
-            def step_fn(x, t):
-                return self.model.apply(self._variables(params, batch_stats), x, t)
+        # losses carry gradients through their own forward only. The rollout
+        # needs a lead time to divide; steady datasets get one via TimeWrapper.
+        if self.ar_steps is not None and batch.get("time") is not None:
+            # Every rollout step runs in the caller's train/eval mode
+            # (reference trainer.py:468-503): dropout rng folds in the step
+            # index, and BN running stats (resnet variant) thread through the
+            # scan carry.
+            def ar_step(x, t, i, bs):
+                mut = ["batch_stats"] if (bs is not None and train) else False
+                r = ({"dropout": jax.random.fold_in(rng, i)}
+                     if (train and rng is not None) else None)
+                out = self.model.apply(
+                    self._variables(params, bs), x, t,
+                    deterministic=not train, rngs=r, mutable=mut)
+                if mut:
+                    pred, updates = out
+                    return pred, updates["batch_stats"]
+                return out, bs
 
+            preds, rolled_bs = autoregressive_rollout_stateful(
+                ar_step, batch["pixel_values"], batch["time"], self.ar_steps,
+                cfg.num_out_channels, state=batch_stats)
+            if mutable:
+                new_bs = rolled_bs
+            # Mean of per-step losses against the final labels
+            # (reference trainer.py:468-523).
+            losses = [masked_loss(preds[:, i], batch["labels"])
+                      for i in range(preds.shape[1])]
+            loss = jnp.mean(jnp.stack(losses))
             if self.output_all_steps:
                 # Stack every intermediate prediction along a new time axis
-                # (reference trainer.py:504-520); loss = mean per-step loss.
-                preds = autoregressive_rollout(
-                    step_fn, batch["pixel_values"], batch["time"],
-                    self.ar_steps, cfg.num_out_channels, output_all_steps=True)
-                losses = [masked_loss(preds[:, i], batch["labels"])
-                          for i in range(preds.shape[1])]
-                return jnp.mean(jnp.stack(losses)), preds, None
-            loss, pred = rollout_loss(
-                step_fn, masked_loss, batch["pixel_values"], batch["time"],
-                batch["labels"], self.ar_steps, cfg.num_out_channels)
-            pred = apply_pixel_mask(pred, batch["labels"], pixel_mask)
+                # (reference trainer.py:504-520).
+                return loss, preds, new_bs
+            pred = apply_pixel_mask(preds[:, -1], batch["labels"], pixel_mask)
         else:
-            out = fwd(batch["pixel_values"], batch.get("time"))
+            out = self.model.apply(
+                self._variables(params, batch_stats),
+                batch["pixel_values"], batch.get("time"),
+                deterministic=not train, rngs=rngs, mutable=mutable)
             if mutable:
                 pred, updates = out
                 new_bs = updates["batch_stats"]
             else:
                 pred = out
             pred = apply_pixel_mask(pred, batch["labels"], pixel_mask)
-            loss = scot_loss(pred, batch["labels"], cfg)
+            loss = scot_loss(pred, batch["labels"], cfg,
+                             sample_weights=sample_weights)
         return loss, pred, new_bs
 
     def _train_step(self, state: TrainState, batch, rng):
@@ -195,14 +222,23 @@ class Trainer:
         gnorm = optax.global_norm(grads)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        loss_sum = (state.loss_sum + loss if state.loss_sum is not None
+                    else jnp.asarray(loss, jnp.float32))
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state,
-            batch_stats=new_bs if new_bs is not None else state.batch_stats)
+            batch_stats=new_bs if new_bs is not None else state.batch_stats,
+            loss_sum=loss_sum)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
-    def _eval_step(self, state: TrainState, batch):
+    def _eval_step(self, state: TrainState, batch, valid):
+        """One eval step; ``valid`` (scalar) marks how many leading samples of
+        the (possibly padded) global batch are real — padding is excluded from
+        the loss so eval loss matches the unpadded computation."""
+        b = batch["pixel_values"].shape[0]
+        weights = (jnp.arange(b) < valid).astype(jnp.float32)
         loss, pred, _ = self._loss_and_pred(
-            state.params, state.batch_stats, batch, None, train=False)
+            state.params, state.batch_stats, batch, None, train=False,
+            sample_weights=weights)
         return loss, pred
 
     def _jitted(self, name, fn, **jit_kw):
@@ -214,12 +250,20 @@ class Trainer:
 
     def _device_batch(self, batch):
         sh = batch_sharding(self.mesh)
-        rep = replicated(self.mesh)
+        multihost = process_count() > 1
         out = {}
         for k, v in batch.items():
             if k.startswith("_valid"):
                 continue
-            out[k] = jax.device_put(np.asarray(v), sh)
+            arr = np.asarray(v)
+            if multihost:
+                # Each process holds only its slice of the global batch; the
+                # loader guarantees host h holds rows [h*local:(h+1)*local] of
+                # the global batch, matching the 'data'-axis shard layout.
+                # (device_put would treat the local slice as the GLOBAL array.)
+                out[k] = jax.make_array_from_process_local_data(sh, arr)
+            else:
+                out[k] = jax.device_put(arr, sh)
         return out
 
     # -- loops --------------------------------------------------------------
@@ -253,23 +297,33 @@ class Trainer:
         stop = False
         for epoch in range(start_epoch, a.num_train_epochs):
             t_epoch = _time.time()
-            running, n_running = 0.0, 0
+            # Reset the device-side epoch loss accumulator (one H2D transfer).
+            self.state = self.state.replace(loss_sum=jnp.zeros((), jnp.float32))
+            n_running = 0
+            # Logging is DELAYED one window: at each logging point we fetch the
+            # metrics recorded at the PREVIOUS one (long since computed — zero
+            # pipeline stall) and enqueue the current step's device scalars.
+            # The old per-step float(metrics["loss"]) host sync serialized
+            # dispatch and hid all data-loading overlap.
+            pending_log = None
             for bi, batch in enumerate(loader.epoch(epoch)):
                 global_step = epoch * steps_per_epoch + bi
                 self._maybe_profile(global_step)
                 rng = jax.random.fold_in(self.rng, global_step)
                 dbatch = self._device_batch(batch)
                 self.state, metrics = train_step(self.state, dbatch, rng)
-                loss = float(metrics["loss"])
-                running += loss
                 n_running += 1
                 if (bi + 1) % log_every == 0:
-                    self.log({"epoch": epoch, "step": int(self.state.step),
-                              "loss": loss, "grad_norm": float(metrics["grad_norm"])})
+                    if pending_log is not None:
+                        self._flush_step_log(pending_log)
+                    pending_log = {"epoch": epoch, "step": global_step + 1,
+                                   "metrics": metrics}
+            if pending_log is not None:
+                self._flush_step_log(pending_log)
 
             epoch_metrics = {"epoch": epoch,
                              "train_time_s": _time.time() - t_epoch,
-                             "train_loss": running / max(n_running, 1)}
+                             "train_loss": float(self.state.loss_sum) / max(n_running, 1)}
 
             do_eval = (self.eval_dataset is not None
                        and (epoch + 1) % max(a.eval_every_epochs, 1) == 0)
@@ -303,13 +357,17 @@ class Trainer:
 
     def evaluate(self, dataset=None) -> Dict[str, float]:
         dataset = dataset if dataset is not None else self.eval_dataset
-        preds, labels, losses = self._predict_arrays(dataset)
-        out = {"loss": float(np.mean(losses))}
+        preds, labels, loss = self._predict_arrays(dataset)
+        out = {"loss": loss}
         if self.compute_metrics is not None:
             out.update(self.compute_metrics(preds, labels))
         return out
 
     def _predict_arrays(self, dataset):
+        """Returns (predictions, labels, loss) with loader padding excluded
+        from all three: predictions/labels are trimmed to the valid count and
+        per-batch losses are masked in-step and averaged weighted by their
+        valid counts (matching the reference's uneven final eval batch)."""
         a = self.args
         from ..data.loader import DataLoader
 
@@ -318,12 +376,12 @@ class Trainer:
             num_hosts=process_count(), host_id=process_index(),
             num_workers=a.num_workers)
         eval_step = self._jitted("eval", self._eval_step)
-        preds, labels, losses = [], [], []
+        preds, labels, losses, counts = [], [], [], []
         for batch in loader.epoch(0):
             valid = int(batch.pop("_valid"))
             valid_global = int(batch.pop("_valid_global", valid))
             dbatch = self._device_batch(batch)
-            loss, pred = eval_step(self.state, dbatch)
+            loss, pred = eval_step(self.state, dbatch, jnp.asarray(valid_global))
             if process_count() > 1:
                 # Each host sees the full global batch after allgather; trim
                 # with the GLOBAL valid count.
@@ -333,13 +391,15 @@ class Trainer:
                 preds.append(np.asarray(pred)[:valid])
                 labels.append(np.asarray(batch["labels"])[:valid])
             losses.append(float(loss))
-        return np.concatenate(preds), np.concatenate(labels), np.asarray(losses)
+            counts.append(valid_global)
+        loss = float(np.average(np.asarray(losses), weights=np.asarray(counts)))
+        return np.concatenate(preds), np.concatenate(labels), loss
 
     def predict(self, dataset, metric_key_prefix: str = ""):
         """Full prediction pass (honors set_ar_steps). Returns an object with
         predictions / label_ids / metrics, like HF's PredictionOutput."""
-        preds, labels, losses = self._predict_arrays(dataset)
-        metrics = {f"{metric_key_prefix}loss": float(np.mean(losses))}
+        preds, labels, loss = self._predict_arrays(dataset)
+        metrics = {f"{metric_key_prefix}loss": loss}
         if self.compute_metrics is not None:
             for k, v in self.compute_metrics(preds, labels).items():
                 metrics[f"{metric_key_prefix}{k}"] = v
@@ -445,6 +505,13 @@ class Trainer:
             self._profiling = False
 
     # -- logging ------------------------------------------------------------
+    def _flush_step_log(self, pending: Dict):
+        """Fetch + emit step metrics recorded a logging-window ago (already
+        computed on device — no pipeline stall)."""
+        m = jax.device_get(pending["metrics"])
+        self.log({"epoch": pending["epoch"], "step": pending["step"],
+                  "loss": float(m["loss"]), "grad_norm": float(m["grad_norm"])})
+
     def _open_logging(self):
         a = self.args
         if not is_primary() or a.report_to == "none":

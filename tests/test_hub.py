@@ -119,3 +119,46 @@ class TestExportRoundTrip:
         assert got_names == ref_names, (
             f"missing={sorted(ref_names - got_names)[:5]} "
             f"extra={sorted(got_names - ref_names)[:5]}")
+
+
+class TestHubRepoId:
+    def test_repo_id_download_monkeypatched(self, tmp_path, monkeypatch):
+        """A non-local-dir source is treated as a HF repo id and resolved via
+        snapshot_download (reference README.md:27-33)."""
+        path, tmodel = save_torch_checkpoint(tmp_path)
+        calls = {}
+
+        def fake_snapshot_download(repo_id, **kw):
+            calls["repo_id"] = repo_id
+            return path
+
+        import huggingface_hub
+
+        monkeypatch.setattr(huggingface_hub, "snapshot_download",
+                            fake_snapshot_download)
+        model, variables, replaced = from_pretrained("camlab-ethz/Poseidon-B")
+        assert calls["repo_id"] == "camlab-ethz/Poseidon-B"
+        assert replaced == []
+
+    def test_missing_path_raises_clear_error(self, monkeypatch):
+        import huggingface_hub
+
+        def boom(repo_id, **kw):
+            raise ConnectionError("offline")
+
+        monkeypatch.setattr(huggingface_hub, "snapshot_download", boom)
+        from poseidon_tpu.hub import resolve_model_path
+
+        with pytest.raises(FileNotFoundError, match="offline"):
+            resolve_model_path("not/a-dir")
+
+    def test_push_to_hub_fallback(self, tmp_path):
+        """Without credentials/network the push fails gracefully and keeps
+        the local export."""
+        from poseidon_tpu.hub import push_to_hub
+
+        d = tmp_path / "export"
+        d.mkdir()
+        (d / "config.json").write_text("{}")
+        assert push_to_hub("someone/some-repo", str(d)) in (True, False)
+        assert (d / "config.json").exists()

@@ -103,8 +103,19 @@ class TestHelpers:
         rng = np.random.default_rng(0)
         out = fn(rng.normal(size=(5, 3, 8, 8)), rng.normal(size=(5, 3, 8, 8)))
         assert "a/median_relative_l1_error" in out
-        assert "bc/mean_absolute_l1_error" in out
+        assert "bc/mean_l1_error" in out  # reference's absolute-error key names
         assert "mean_relative_l1_error" in out
+        assert "mean_over_median_l1_error" in out
+
+    def test_compute_metrics_full_data(self):
+        fn = make_compute_metrics([0, 1, 3], ["a", "bc"], full_data=True)
+        rng = np.random.default_rng(0)
+        out = fn(rng.normal(size=(5, 3, 8, 8)), rng.normal(size=(5, 3, 8, 8)))
+        assert len(out["a/relative_full_data"]) == 5
+        assert len(out["bc/full_data"]) == 5
+        fn1 = make_compute_metrics([0, 1], ["u"], full_data=True)
+        out1 = fn1(rng.normal(size=(5, 1, 8, 8)), rng.normal(size=(5, 1, 8, 8)))
+        assert len(out1["relative_full_data"]) == 5
 
 
 class TestEndToEnd:

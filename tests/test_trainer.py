@@ -248,3 +248,114 @@ class TestRolloutGradients:
         g = jax.grad(loss)(jnp.ones((1,)))
         # d/dw of (stop(x*w)*w) = stop(x*w) = w -> gradient 4*w = 4
         np.testing.assert_allclose(float(g[0]), 4.0, rtol=1e-6)
+
+
+class TestEvalPadding:
+    def test_eval_loss_excludes_padding(self, tmp_path):
+        """With a non-divisible eval set the loader pads the last batch by
+        repeating the final sample; the eval loss must equal the unpadded
+        computation (VERDICT r1 item 5)."""
+        from poseidon_tpu.models.scot import scot_loss
+
+        cfg = tiny_cfg()
+        model = ScOT(config=cfg)
+        ds = SyntheticTimeDataset(n=10)  # 10 % 8 != 0 -> last batch padded by 6
+        args = TrainingArguments(
+            output_dir=str(tmp_path), train_batch_size=8, eval_batch_size=8,
+            num_train_epochs=1, compute_dtype="float32", num_workers=2,
+            report_to="none")
+        trainer = Trainer(model, args, train_dataset=ds, eval_dataset=ds)
+
+        got = trainer._predict_arrays(ds)[2]
+
+        # Manual unpadded computation with the same per-batch grouping.
+        total, count = 0.0, 0
+        for lo in range(0, len(ds), 8):
+            samples = [ds[i] for i in range(lo, min(lo + 8, len(ds)))]
+            batch = {
+                "pixel_values": jnp.stack([jnp.asarray(s["pixel_values"]) for s in samples]),
+                "labels": jnp.stack([jnp.asarray(s["labels"]) for s in samples]),
+                "time": jnp.asarray([s["time"] for s in samples]),
+            }
+            loss, _, _ = trainer._loss_and_pred(
+                trainer.state.params, None, batch, None, train=False)
+            total += float(loss) * len(samples)
+            count += len(samples)
+        expected = total / count
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+class TestARTraining:
+    def test_ar_training_without_conditioning(self, tmp_path):
+        """The reference rolls out whenever ar_steps is set, regardless of
+        conditioning (trainer.py:452); dropout must fire per rollout step."""
+        cfg = tiny_cfg(use_conditioning=False, hidden_dropout_prob=0.1)
+        model = ScOT(config=cfg)
+        ds = SyntheticTimeDataset()
+        args = TrainingArguments(
+            output_dir=str(tmp_path), train_batch_size=8, eval_batch_size=8,
+            num_train_epochs=1, learning_rate=1e-3, compute_dtype="float32",
+            num_workers=2, report_to="none")
+        trainer = Trainer(model, args, train_dataset=ds, eval_dataset=ds)
+        trainer.set_ar_steps(2)
+        batch = trainer._device_batch(next(iter(
+            __import__("poseidon_tpu.data.loader", fromlist=["DataLoader"])
+            .DataLoader(ds, 8, num_workers=2).epoch(0))))
+        params_before = jax.tree.map(np.asarray, trainer.state.params)
+        state, metrics = jax.jit(trainer._train_step)(
+            trainer.state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        # params actually moved (gradients flowed through the rollout steps)
+        moved = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+            state.params, params_before)
+        assert max(jax.tree.leaves(moved)) > 0
+
+    def test_ar_training_updates_batch_stats(self, tmp_path):
+        """BatchNorm running stats (resnet residual variant) must thread
+        through the rollout scan in train mode (ADVICE r1)."""
+        cfg = tiny_cfg(residual_model="resnet")
+        model = ScOT(config=cfg)
+        ds = SyntheticTimeDataset()
+        args = TrainingArguments(
+            output_dir=str(tmp_path), train_batch_size=8, eval_batch_size=8,
+            num_train_epochs=1, learning_rate=1e-3, compute_dtype="float32",
+            num_workers=2, report_to="none")
+        trainer = Trainer(model, args, train_dataset=ds, eval_dataset=ds)
+        assert trainer.state.batch_stats is not None
+        trainer.set_ar_steps(2)
+        batch = trainer._device_batch(next(iter(
+            __import__("poseidon_tpu.data.loader", fromlist=["DataLoader"])
+            .DataLoader(ds, 8, num_workers=2).epoch(0))))
+        bs_before = jax.tree.map(np.asarray, trainer.state.batch_stats)
+        state, _ = jax.jit(trainer._train_step)(
+            trainer.state, batch, jax.random.PRNGKey(0))
+        changed = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+            state.batch_stats, bs_before)
+        assert max(jax.tree.leaves(changed)) > 0
+
+
+class TestRemat:
+    def test_remat_grads_match(self):
+        """gradient_checkpointing (remat) must not change gradients."""
+        cfg = tiny_cfg()
+        m_plain = ScOT(config=cfg, remat=False)
+        m_remat = ScOT(config=cfg, remat=True)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2, 16, 16)),
+                        jnp.float32)
+        t = jnp.asarray([0.3, 0.7])
+        y = x * 0.5
+        variables = jax.jit(m_plain.init)(jax.random.PRNGKey(0), x, t)
+
+        def loss(m):
+            def f(p):
+                pred = m.apply({"params": p}, x, t)
+                return jnp.mean(jnp.abs(pred - y))
+            return f
+
+        g1 = jax.grad(loss(m_plain))(variables["params"])
+        g2 = jax.grad(loss(m_remat))(variables["params"])
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5), g1, g2)
