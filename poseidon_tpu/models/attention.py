@@ -203,10 +203,15 @@ class WindowAttention(nn.Module):
                 v.transpose(0, 2, 1, 3), bias, m, scale).transpose(0, 2, 1, 3)
         else:
             # Cosine attention in fp32: L2-normalize q and k along the head dim
-            # (torch F.normalize semantics: x / max(||x||, 1e-12)). The learned
-            # logit scale is folded into q BEFORE the score matmul — same math,
-            # but it avoids an extra full pass over the fp32 (N, H, T, T)
-            # score tensor (memory-bound hot spot).
+            # (torch F.normalize semantics: x / max(||x||, 1e-12)) — kept on
+            # the SMALL (B, T, H, 32) tensors; scaling the (B, H, T, T) score
+            # matrix by rsqrt factors instead was measured 15 ms/step SLOWER
+            # (extra passes + backward reductions over the score tensor), and
+            # block-diagonal head packing of the tiny stages was ~15 ms/step
+            # slower too (PK^2 x the score volume; XLA already handles the
+            # small shapes well in-model). The learned logit scale is folded
+            # into q BEFORE the score matmul — same math, but it avoids an
+            # extra full pass over the (N, H, T, T) score tensor.
             qf = q.astype(jnp.float32)
             kf = k.astype(jnp.float32)
             qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
@@ -229,6 +234,10 @@ class WindowAttention(nn.Module):
             probs = jax.nn.softmax(scores, axis=-1)
             if self.attn_drop > 0.0 and not deterministic:
                 probs = nn.Dropout(self.attn_drop)(probs, deterministic=False)
+            # output_attentions surface (reference model.py:57-63): captured
+            # only under apply(..., mutable=["intermediates"]); DCE'd by XLA
+            # otherwise.
+            self.sow("intermediates", "attention_probs", probs)
             probs = probs.astype(v.dtype)
             out = jnp.einsum("bhts,bshd->bthd", probs, v)
 

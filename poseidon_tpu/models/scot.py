@@ -264,6 +264,11 @@ class Encoder(nn.Module):
                         name=f"stage_{i}_block_{j}",
                     )(x, time, deterministic)
             skips.append(x)
+            # Reference API-surface parity (output_hidden_states,
+            # Swinv2EncoderOutput at model.py:1094-1099): capture with
+            # apply(..., mutable=["intermediates"]) — DCE'd under jit
+            # otherwise.
+            self.sow("intermediates", "hidden_states", x)
             if i < cfg.num_stages - 1:
                 # Stage residual feeds the downsample (model.py:843-849).
                 x = PatchMerging(
@@ -319,6 +324,7 @@ class Decoder(nn.Module):
                         drop_path=dpr[lo + j], dtype=self.dtype,
                         name=f"stage_{lvl}_block_{j}",
                     )(x, time, deterministic)
+            self.sow("intermediates", "hidden_states", x)
             if lvl > 0:
                 x = PatchUnmerging(
                     dim=dim, input_resolution=res,
@@ -437,6 +443,37 @@ class ScOT(nn.Module):
         if in_size != cfg.image_size:
             pred = (fft_upsample if in_size > cfg.image_size else fft_downsample)(pred, in_size)
         return pred
+
+
+def forward_with_intermediates(model, variables, pixel_values, time=None,
+                               **apply_kwargs):
+    """Reference ``output_hidden_states`` / ``output_attentions`` API surface
+    (``ScOTOutput`` at /root/reference/scOT/model.py:57-63, forward flags at
+    model.py:1318-1358), functional style.
+
+    Returns ``(prediction, hidden_states, attentions)`` where
+    ``hidden_states`` are the per-stage token maps (encoder pre-downsample
+    skips, then decoder stage outputs, deepest first) and ``attentions`` the
+    per-layer softmax probabilities (N*nW, heads, T, T), in execution order.
+    Only available on the XLA attention path (``attention_impl="xla"``, the
+    default); the fused Pallas kernel never materializes probabilities.
+    """
+    pred, inter = model.apply(variables, pixel_values, time,
+                              mutable=["intermediates"], **apply_kwargs)
+    flat = jax.tree_util.tree_flatten_with_path(inter["intermediates"])[0]
+
+    def _collect(leaf_name):
+        out = []
+        for path, value in flat:
+            keys = [str(getattr(k, "key", k)) for k in path]
+            if leaf_name in keys:
+                # encoder stages first, then decoder (execution order);
+                # within a section, module paths sort naturally.
+                section = 0 if keys[0] == "encoder" else 1
+                out.append(((section, "/".join(keys)), value))
+        return [v for _, v in sorted(out, key=lambda kv: kv[0])]
+
+    return pred, _collect("hidden_states"), _collect("attention_probs")
 
 
 # ---------------------------------------------------------------------------

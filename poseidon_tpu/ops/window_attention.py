@@ -1,23 +1,33 @@
 """Fused window cosine-attention Pallas TPU kernels (forward AND backward).
 
-The op boundary is the attention *core*: given already-normalized-and-scaled
-queries ``qs`` (= L2-normalized q times the clamped per-head logit scale),
-L2-normalized keys ``kn``, values ``v``, the shared CPB bias (H, T, T) and the
-shifted-window mask (nW, T, T):
+The op boundary is the FULL attention core: raw projected q/k/v tiles plus one
+combined additive tensor ``bm`` (CPB bias + doubled shift mask) and a per-row
+logit-scale vector ``srow``:
 
-    S = qs @ kn^T + bias[h] + mask[n % nW];  P = softmax(S);  O = P @ v
+    qn = q / max(||q||, 1e-12);   kn = k / max(||k||, 1e-12)
+    S  = (srow * qn) @ kn^T + bm[pair % base]
+    P  = softmax(S);   O = P @ v
 
-Both passes keep the (T, T) score matrices entirely in VMEM — they never touch
-HBM, unlike the XLA lowering which materializes fp32 scores/probs (the
-dominant memory traffic of scOT's train step). Grid layout: ONE grid step per
-image, with all of that image's (window, head) pairs processed by a statically
-unrolled loop — so the bias and mask stay VMEM-resident across the whole grid
-and the per-step DMA is just q/k/v/o tiles. The backward kernel recomputes
-S and P and accumulates the bias gradient across grid steps in its (constant
-index map) output block.
+Everything — the L2 normalization, the logit scaling, the score matmul, the
+bias/mask add, the softmax, and the PV matmul — runs on VMEM-resident data;
+nothing but q/k/v/o (and the tiny bm/srow) touches HBM. The XLA lowering by
+contrast materializes fp32 scores, stashes probabilities for the backward
+pass (~75 MB per stage-0 layer at batch 48), and runs the normalization as
+separate fp32 passes over (N, H, T, 32) arrays at 25% lane utilization. The
+backward kernel recomputes S and P from (q, k) instead of loading them.
 
-The cosine normalization and logit-scale clamping stay OUTSIDE the op (cheap
-elementwise work) so their gradients come from XLA autodiff.
+Design notes (v3; v1 lost to XLA — see git history — and v2 still paid ~1 ms
+per layer of out-of-kernel normalize glue):
+- matmuls take bf16 operands with fp32 accumulation and are BATCHED over G
+  (window, head) pairs per grid step via `dot_general` batch dimensions;
+- softmax runs in fp32; the 1/sum is folded into the (T, D) output rather
+  than spent as an extra (T, T) pass;
+- the logit scale is a per-ROW vector so that **small-T stages can be packed
+  block-diagonally**: for T in {16, 64} (scOT stages 2-3, where XLA wastes
+  7/8 of the VPU lanes on 16-wide score rows) P heads are packed along the
+  token axis into T' = P*T in {128, 256} tiles with -1e9 off-diagonal
+  filler. exp(-1e9 - m) underflows to exactly 0.0 in fp32, so the packed
+  softmax/PV is numerically identical to the unpacked one.
 
 Replaces the score pipeline of HF ``Swinv2SelfAttention`` (modeling_swinv2.py:
 479-533, used by /root/reference/scOT/model.py:539). On non-TPU backends the
@@ -27,7 +37,6 @@ kernels run in interpreter mode so CPU tests exercise the same code path.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,167 +44,316 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_NEG = -1e9  # off-diagonal filler for block-packed scores
+_EPS = 1e-12  # torch F.normalize clamp
+
 
 def _needs_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _softmax(s):
+# ---------------------------------------------------------------------------
+# Group sizing
+# ---------------------------------------------------------------------------
+
+def _pick_group(pairs: int, base: int, t: int) -> int:
+    """Number of (window, head) pairs per grid step.
+
+    Must divide ``pairs``; additionally either divides ``base`` (modular bm
+    index map) or is a multiple of it (pre-tiled bm). Sized so the backward
+    pass's VMEM-resident intermediates (~24 bytes/score element) plus the
+    accumulated dbm block fit comfortably."""
+    budget = 11e6 - base * t * t * 4
+    imgs = pairs // base
+
+    def fits(g):
+        return g * t * t * 24 <= budget
+
+    best = 0
+    for m in range(1, imgs + 1):
+        if imgs % m == 0 and fits(m * base):
+            best = m * base
+    if best:
+        return best
+    for g in range(base, 0, -1):
+        if base % g == 0 and fits(g):
+            return g
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _bdot(a, b, contract, preferred=jnp.float32):
+    """Batched (over axis 0) matmul contracting the given axes of a and b."""
+    (ca, cb) = contract
+    return jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((0,), (0,))), preferred_element_type=preferred)
+
+
+def _normalize(x):
+    """f32 L2-normalize along the last axis (torch F.normalize semantics)."""
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(n, _EPS)
+
+
+def _scores(q_ref, k_ref, bm_ref, s_ref):
+    cdt = q_ref.dtype
+    qn = _normalize(q_ref[...].astype(jnp.float32))
+    kn = _normalize(k_ref[...].astype(jnp.float32))
+    # s_ref is (G, 1, T): per-row logit scale, lane axis moved to rows here.
+    srow = jnp.squeeze(s_ref[...], axis=1)[:, :, None]  # (G, T, 1)
+    qs = qn * srow
+    s = _bdot(qs.astype(cdt), kn.astype(cdt), (2, 2)) + bm_ref[...]
+    return qn, kn, qs, s
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bm_ref, s_ref, o_ref):
+    _, _, _, s = _scores(q_ref, k_ref, bm_ref, s_ref)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    # Fold 1/denom into the (T, D) output instead of a (T, T) divide pass.
+    o = _bdot(e.astype(v_ref.dtype), v_ref[...], (2, 1))
+    o_ref[...] = (o / denom).astype(o_ref.dtype)
 
 
-# ---------------------------------------------------------------------------
-# Forward
-# ---------------------------------------------------------------------------
+def _acc(ref, i, value, base: int, g: int):
+    """Accumulate a (g, ...) value into a (base, ...) resident output block."""
+    if g > base:
+        v = value.reshape(g // base, base, *value.shape[1:]).sum(axis=0)
 
-def _fwd_kernel(nw: int, heads: int, qs_ref, k_ref, v_ref, bias_ref, mask_ref,
-                o_ref):
-    for w in range(nw):
-        mask_w = mask_ref[w]
-        for h in range(heads):
-            qs = qs_ref[w, h].astype(jnp.float32)  # (T, D)
-            kn = k_ref[w, h].astype(jnp.float32)
-            s = jax.lax.dot_general(qs, kn, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            p = _softmax(s + bias_ref[h] + mask_w)
-            o_ref[w, h] = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[w, h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        @pl.when(i == 0)
+        def _init():
+            ref[...] = v
 
+        @pl.when(i > 0)
+        def _add():
+            ref[...] += v
+    elif g == base:
+        @pl.when(i == 0)
+        def _init():
+            ref[...] = value
 
-def _core_fwd(qs, kn, v, bias, mask):
-    n, h, t, d = qs.shape
-    nw = mask.shape[0]
-    imgs = n // nw
-    qkv_spec = pl.BlockSpec((nw, h, t, d), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, nw, h),
-        grid=(imgs,),
-        in_specs=[
-            qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((h, t, t), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw, t, t), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((n, h, t, d), qs.dtype),
-        interpret=_needs_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n * h * t * t * d,
-            bytes_accessed=n * h * t * d * 4 * qs.dtype.itemsize,
-            transcendentals=n * h * t * t,
-        ),
-    )(qs.reshape(imgs * nw, h, t, d), kn.reshape(imgs * nw, h, t, d),
-      v.reshape(imgs * nw, h, t, d), bias, mask)
+        @pl.when(i > 0)
+        def _add():
+            ref[...] += value
+    else:
+        r = base // g
+        off = (i % r) * g
+
+        @pl.when(i < r)
+        def _init():
+            ref[pl.ds(off, g)] = value
+
+        @pl.when(i >= r)
+        def _add():
+            ref[pl.ds(off, g)] += value
 
 
-# ---------------------------------------------------------------------------
-# Backward
-# ---------------------------------------------------------------------------
-
-def _bwd_kernel(nw: int, heads: int, qs_ref, k_ref, v_ref, bias_ref, mask_ref,
-                do_ref, dq_ref, dk_ref, dv_ref, dbias_ref):
+def _bwd_kernel(base: int, q_ref, k_ref, v_ref, bm_ref, s_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dbm_ref, dsrow_ref):
     i = pl.program_id(0)
-    for w in range(nw):
-        mask_w = mask_ref[w]
-        for h in range(heads):
-            qs = qs_ref[w, h].astype(jnp.float32)
-            kn = k_ref[w, h].astype(jnp.float32)
-            vv = v_ref[w, h].astype(jnp.float32)
-            do = do_ref[w, h].astype(jnp.float32)
+    g = q_ref.shape[0]
+    cdt = q_ref.dtype
+    qn, kn, qs, s = _scores(q_ref, k_ref, bm_ref, s_ref)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    do = do_ref[...].astype(jnp.float32)
 
-            s = jax.lax.dot_general(qs, kn, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            p = _softmax(s + bias_ref[h] + mask_w)
+    # dv[s] = sum_t p[t,s] do[t] = sum_t e[t,s] (do[t]/denom[t])
+    dod = (do / denom).astype(cdt)
+    dv_ref[...] = _bdot(e.astype(cdt), dod, (1, 1)).astype(dv_ref.dtype)
+    # dp[t,s] = do[t] . v[s];  ds = p * (dp - sum_s dp*p)
+    dp = _bdot(do.astype(cdt), v_ref[...], (2, 2))
+    c = jnp.sum(dp * e, axis=-1, keepdims=True) / denom
+    ds = e * ((dp - c) / denom)
+    dsb = ds.astype(cdt)
+    knc = kn.astype(cdt)
+    # dqs = ds @ kn ; dkn = ds^T @ qs
+    dqs = _bdot(dsb, knc, (2, 1))
+    dkn = _bdot(dsb, qs.astype(cdt), (1, 1))
+    # through the logit scale: qs = srow * qn
+    srow = jnp.squeeze(s_ref[...], axis=1)[:, :, None]  # (G, T, 1)
+    dsrow = jnp.sum(dqs * qn, axis=-1)[:, None, :]  # (G, 1, T)
+    dqn = dqs * srow
+    # through the L2 normalize: x -> x / max(||x||, eps)
+    def _norm_bwd(dxn, xn, x):
+        n = jnp.maximum(jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)), _EPS)
+        return (dxn - xn * jnp.sum(dxn * xn, axis=-1, keepdims=True)) / n
 
-            dv_ref[w, h] = jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-            dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dq_ref[w, h] = jax.lax.dot_general(
-                ds, kn, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-            dk_ref[w, h] = jax.lax.dot_general(
-                ds, qs, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    q32 = q_ref[...].astype(jnp.float32)
+    k32 = k_ref[...].astype(jnp.float32)
+    dq_ref[...] = _norm_bwd(dqn, qn, q32).astype(dq_ref.dtype)
+    dk_ref[...] = _norm_bwd(dkn, kn, k32).astype(dk_ref.dtype)
 
-            if w == 0:
-                @pl.when(i == 0)
-                def _init():
-                    dbias_ref[h] = ds
-
-                @pl.when(i > 0)
-                def _acc():
-                    dbias_ref[h] += ds
-            else:
-                dbias_ref[h] += ds
+    _acc(dbm_ref, i, ds, base, g)
+    _acc(dsrow_ref, i, dsrow, base, g)
 
 
-def _core_bwd_pallas(qs, kn, v, bias, mask, do):
-    n, h, t, d = qs.shape
-    nw = mask.shape[0]
-    imgs = n // nw
-    qkv_spec = pl.BlockSpec((nw, h, t, d), lambda i: (i, 0, 0, 0),
+def _bm_spec(group: int, base: int, block):
+    """BlockSpec fetching the right per-pair block for bm / srow inputs."""
+    if group >= base:
+        zeros = (0,) * (len(block) - 1)
+        return pl.BlockSpec(block, lambda i: (0,) + zeros,
                             memory_space=pltpu.VMEM)
-    out_qkv = jax.ShapeDtypeStruct((n, h, t, d), qs.dtype)
-    dq, dk, dv, dbias = pl.pallas_call(
-        functools.partial(_bwd_kernel, nw, h),
-        grid=(imgs,),
-        in_specs=[
-            qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((h, t, t), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw, t, t), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            qkv_spec,
-        ],
-        out_specs=[
-            qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((h, t, t), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[out_qkv, out_qkv, out_qkv,
-                   jax.ShapeDtypeStruct((h, t, t), jnp.float32)],
+    r = base // group
+    zeros = (0,) * (len(block) - 1)
+    return pl.BlockSpec(block, lambda i: (i % r,) + zeros,
+                        memory_space=pltpu.VMEM)
+
+
+def _prep(x: jax.Array, group: int, base: int) -> jax.Array:
+    reps = (group // base,) + (1,) * (x.ndim - 1)
+    return jnp.tile(x, reps) if group > base else x
+
+
+def _core_fwd(q, k, v, bm, srow):
+    pairs, t, d = q.shape
+    base = bm.shape[0]
+    group = _pick_group(pairs, base, t)
+    grid = pairs // group
+    tile = pl.BlockSpec((group, t, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(grid,),
+        in_specs=[tile, tile, tile,
+                  _bm_spec(group, base, (group, t, t)),
+                  _bm_spec(group, base, (group, 1, t))],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((pairs, t, d), q.dtype),
         interpret=_needs_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=10 * n * h * t * t * d,
-            bytes_accessed=n * h * t * d * 8 * qs.dtype.itemsize,
-            transcendentals=n * h * t * t,
+            flops=4 * pairs * t * t * d,
+            bytes_accessed=4 * pairs * t * d * q.dtype.itemsize,
+            transcendentals=pairs * t * t,
         ),
-    )(qs, kn, v, bias, mask, do)
-    return dq, dk, dv, dbias
+    )(q, k, v, _prep(bm, group, base), _prep(srow, group, base))
 
 
-# ---------------------------------------------------------------------------
-# custom_vjp core + public API
-# ---------------------------------------------------------------------------
+def _core_bwd(q, k, v, bm, srow, do):
+    pairs, t, d = q.shape
+    base = bm.shape[0]
+    group = _pick_group(pairs, base, t)
+    grid = pairs // group
+    tile = pl.BlockSpec((group, t, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out_tile = jax.ShapeDtypeStruct((pairs, t, d), q.dtype)
+    const3 = pl.BlockSpec((base, t, t), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const2 = pl.BlockSpec((base, 1, t), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv, dbm, dsrow = pl.pallas_call(
+        functools.partial(_bwd_kernel, base),
+        grid=(grid,),
+        in_specs=[tile, tile, tile,
+                  _bm_spec(group, base, (group, t, t)),
+                  _bm_spec(group, base, (group, 1, t)),
+                  tile],
+        out_specs=[tile, tile, tile, const3, const2],
+        out_shape=[out_tile, out_tile, out_tile,
+                   jax.ShapeDtypeStruct((base, t, t), jnp.float32),
+                   jax.ShapeDtypeStruct((base, 1, t), jnp.float32)],
+        interpret=_needs_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * pairs * t * t * d,
+            bytes_accessed=8 * pairs * t * d * q.dtype.itemsize,
+            transcendentals=pairs * t * t,
+        ),
+    )(q, k, v, _prep(bm, group, base), _prep(srow, group, base), do)
+    return dq, dk, dv, dbm, dsrow
+
 
 @jax.custom_vjp
-def _attention_core(qs, kn, v, bias, mask):
-    return _core_fwd(qs, kn, v, bias, mask)
+def _attention_core(q, k, v, bm, srow):
+    return _core_fwd(q, k, v, bm, srow)
 
 
-def _core_fwd_rule(qs, kn, v, bias, mask):
-    return _core_fwd(qs, kn, v, bias, mask), (qs, kn, v, bias, mask)
+def _core_fwd_rule(q, k, v, bm, srow):
+    return _core_fwd(q, k, v, bm, srow), (q, k, v, bm, srow)
 
 
 def _core_bwd_rule(res, do):
-    qs, kn, v, bias, mask = res
-    dq, dk, dv, dbias = _core_bwd_pallas(qs, kn, v, bias, mask, do)
-    return dq, dk, dv, dbias, jnp.zeros_like(mask)
+    return _core_bwd(*res, do)
 
 
 _attention_core.defvjp(_core_fwd_rule, _core_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Packing + public API
+# ---------------------------------------------------------------------------
+
+def _pick_pack(nw: int, h: int, t: int) -> int:
+    """Heads packed per block-diagonal tile (1 = no packing)."""
+    if nw != 1 or t >= 128:
+        return 1
+    for target in (256, 128):
+        p = target // t
+        if p > 1 and h % p == 0:
+            return p
+    return 1
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_filler(hp: int, p: int, t: int) -> np.ndarray:
+    """(H', P*T, P*T) additive tensor: 0 on diagonal blocks, -1e9 off."""
+    eye = np.kron(np.eye(p, dtype=np.float32), np.ones((t, t), np.float32))
+    return np.broadcast_to((1.0 - eye) * _NEG, (hp, p * t, p * t)).copy()
+
+
+def fused_window_attention(q, k, v, bias, mask, scale):
+    """Full fused cosine window attention.
+
+    Args:
+        q, k, v: (N, H, T, D) projected (unnormalized) q/k/v; N must be a
+            multiple of the window count nW (windows of one image contiguous).
+        bias: (H, T, T) fp32 position bias (already 16*sigmoid'd).
+        mask: (nW, T, T) fp32 additive shift mask, already doubled by the
+            caller (the HF reference adds it twice); zeros when unshifted.
+        scale: (H,) fp32 exp(clamped logit_scale).
+    Returns:
+        (N, H, T, D) attention output in q's dtype.
+    """
+    n, h, t, d = q.shape
+    nw = mask.shape[0]
+    bm = bias[None] + mask[:, None]  # (nW, H, T, T) fp32
+
+    p = _pick_pack(nw, h, t)
+    if p > 1:
+        hp, tp = h // p, p * t
+        # (N, H, T, D) -> (N, H', T'=P*T, D): adjacent-axis merge, a free view.
+        qp = q.reshape(n, hp, tp, d)
+        kp = k.reshape(n, hp, tp, d)
+        vp = v.reshape(n, hp, tp, d)
+        # Block-diagonal bm: per-head blocks on the diagonal, -1e9 elsewhere.
+        filler = jnp.asarray(_pack_filler(hp, p, t))
+        blocks = bm[0].reshape(hp, p, t, t)
+        bmp = filler
+        for j in range(p):
+            bmp = jax.lax.dynamic_update_slice(bmp, blocks[:, j], (0, j * t, j * t))
+        srow = jnp.repeat(scale.reshape(hp, p), t, axis=1)[:, None, :]  # (H', 1, T')
+        out = _attention_core(
+            qp.reshape(n * hp, tp, d), kp.reshape(n * hp, tp, d),
+            vp.reshape(n * hp, tp, d), bmp, srow)
+        return out.reshape(n, hp, tp, d).reshape(n, h, t, d)
+
+    base = nw * h
+    srow = jnp.broadcast_to(scale[None, :, None], (nw, h, t)).reshape(base, 1, t)
+    out = _attention_core(
+        q.reshape(n * h, t, d), k.reshape(n * h, t, d),
+        v.reshape(n * h, t, d), bm.reshape(base, t, t), srow)
+    return out.reshape(n, h, t, d)
+
+
+# ---------------------------------------------------------------------------
+# Unfused jnp reference (tests / numerics oracle)
+# ---------------------------------------------------------------------------
+
 def _reference_core(qs, kn, v, bias, mask):
-    """jnp formulation with identical numerics (tests/fallback)."""
     n, h, t, d = qs.shape
     nw = mask.shape[0]
     s = jnp.einsum("nhtd,nhsd->nhts", qs.astype(jnp.float32), kn.astype(jnp.float32))
@@ -206,31 +364,11 @@ def _reference_core(qs, kn, v, bias, mask):
     return jnp.einsum("nhts,nhsd->nhtd", p.astype(v.dtype), v).astype(qs.dtype)
 
 
-def fused_window_attention(q, k, v, bias, mask, scale):
-    """Full fused cosine window attention.
-
-    Args:
-        q, k, v: (N, H, T, D) projected (unnormalized) q/k/v; N must be a
-            multiple of the window count nW (windows of one image contiguous).
-        bias: (H, T, T) fp32 position bias (already 16*sigmoid'd).
-        mask: (nW, T, T) fp32 additive shift mask (zeros when unshifted).
-        scale: (H,) fp32 exp(clamped logit_scale).
-    Returns:
-        (N, H, T, D) attention output in q's dtype.
-    """
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
-    kn = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
-    qs = qn * scale[None, :, None, None]
-    return _attention_core(qs.astype(q.dtype), kn.astype(q.dtype), v, bias, mask)
-
-
 def _forward_reference(q, k, v, bias, mask, scale):
     """Unfused jnp reference of the full op (tests)."""
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
-    kn = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+    qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), _EPS)
+    kn = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), _EPS)
     qs = qn * scale[None, :, None, None]
     return _reference_core(qs.astype(q.dtype), kn.astype(q.dtype), v, bias, mask)

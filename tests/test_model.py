@@ -209,3 +209,40 @@ class TestLoss:
         mask = jnp.asarray([[[[True, False], [False, True]]]])
         out = np.asarray(apply_pixel_mask(pred, lbl, mask))
         np.testing.assert_array_equal(out[0, 0], [[1, 0], [0, 1]])
+
+
+class TestIntermediatesSurface:
+    """Reference output_hidden_states / output_attentions parity surface
+    (ScOTOutput, /root/reference/scOT/model.py:57-63)."""
+
+    def test_forward_with_intermediates(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from poseidon_tpu import ScOT, make_config
+        from poseidon_tpu.models.scot import forward_with_intermediates
+
+        cfg = make_config("T", image_size=32, patch_size=4, num_channels=3,
+                          num_out_channels=2, embed_dim=16, depths=(2, 2),
+                          num_heads=(2, 2), skip_connections=(1, 0),
+                          window_size=4, mlp_ratio=2.0,
+                          channel_slice_list=(0, 1, 2), use_conditioning=True)
+        m = ScOT(config=cfg)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)),
+                        jnp.float32)
+        t = jnp.asarray([0.3, 0.9])
+        v = m.init(jax.random.PRNGKey(0), x, t)
+        pred, hidden, attn = forward_with_intermediates(m, v, x, t)
+        assert pred.shape == (2, 2, 32, 32)
+        # 2 encoder + 2 decoder stages; encoder first (execution order).
+        assert len(hidden) == 4
+        assert hidden[0].shape == (2, 64, 16)   # encoder stage 0 (8x8 grid)
+        assert hidden[1].shape == (2, 16, 32)   # encoder stage 1
+        # one probs tensor per transformer block (2 per stage, 4 stages).
+        assert len(attn) == 8
+        assert attn[0].shape[-2:] == (16, 16)   # window 4 -> T=16
+        probs = np.asarray(attn[0])
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+        # plain apply is unchanged
+        np.testing.assert_allclose(np.asarray(pred),
+                                   np.asarray(m.apply(v, x, t)), atol=1e-6)

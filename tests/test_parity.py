@@ -142,6 +142,16 @@ class TestForwardParity:
         t = np.asarray([0.5], np.float32)
         compare(tm, jm, v, x, t)
 
+    def test_head_packed_stages(self):
+        # 8 heads on a 4x4 (t=16) stage triggers the block-diagonal head
+        # packing fast path (P=8 -> 128-token tiles); parity must be exact.
+        tm, jm, v, tcfg, jcfg = build_pair(embed_dim=32, num_heads=(8, 8),
+                                           depths=(2, 2), skip_connections=(1, 0))
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        t = np.asarray([0.3, 0.7], np.float32)
+        compare(tm, jm, v, x, t)
+
     def test_no_qkv_bias(self):
         tm, jm, v, tcfg, jcfg = build_pair(qkv_bias=False)
         rng = np.random.default_rng(6)
