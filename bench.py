@@ -2,7 +2,7 @@
 
 Measures the full training step (fwd + bwd + AdamW with the 4-group optimizer,
 bf16 compute / fp32 params) on the flagship configuration — ScOT-B, 128x128,
-4-channel NS-style input, global batch 32 — and prints ONE JSON line:
+4-channel NS-style input, per-chip batch 48 — and prints ONE JSON line:
   {"metric": ..., "value": samples/sec, "unit": ..., "vs_baseline": ...}
 
 vs_baseline reports measured model FLOP utilization (MFU) relative to the

@@ -56,25 +56,19 @@ def _needs_interpret() -> bool:
 # Group sizing
 # ---------------------------------------------------------------------------
 
-def _pick_group(pairs: int, base: int, t: int) -> int:
+def _pick_group(base: int, t: int) -> int:
     """Number of (window, head) pairs per grid step.
 
-    Must divide ``pairs``; additionally either divides ``base`` (modular bm
-    index map) or is a multiple of it (pre-tiled bm). Sized so the backward
+    Must divide ``base`` (modular bm index map). Groups LARGER than base
+    (pre-tiled bm + in-kernel reshape-sum accumulation) reliably crash the
+    Mosaic compiler on real TPUs — keep g <= base. Sized so the backward
     pass's VMEM-resident intermediates (~24 bytes/score element) plus the
     accumulated dbm block fit comfortably."""
     budget = 11e6 - base * t * t * 4
-    imgs = pairs // base
 
     def fits(g):
         return g * t * t * 24 <= budget
 
-    best = 0
-    for m in range(1, imgs + 1):
-        if imgs % m == 0 and fits(m * base):
-            best = m * base
-    if best:
-        return best
     for g in range(base, 0, -1):
         if base % g == 0 and fits(g):
             return g
@@ -120,18 +114,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bm_ref, s_ref, o_ref):
 
 
 def _acc(ref, i, value, base: int, g: int):
-    """Accumulate a (g, ...) value into a (base, ...) resident output block."""
-    if g > base:
-        v = value.reshape(g // base, base, *value.shape[1:]).sum(axis=0)
-
-        @pl.when(i == 0)
-        def _init():
-            ref[...] = v
-
-        @pl.when(i > 0)
-        def _add():
-            ref[...] += v
-    elif g == base:
+    """Accumulate a (g, ...) value into a (base, ...) resident output block
+    (g <= base always; see _pick_group)."""
+    if g == base:
         @pl.when(i == 0)
         def _init():
             ref[...] = value
@@ -195,25 +180,19 @@ def _bwd_kernel(base: int, q_ref, k_ref, v_ref, bm_ref, s_ref, do_ref,
 
 def _bm_spec(group: int, base: int, block):
     """BlockSpec fetching the right per-pair block for bm / srow inputs."""
-    if group >= base:
-        zeros = (0,) * (len(block) - 1)
+    zeros = (0,) * (len(block) - 1)
+    if group == base:
         return pl.BlockSpec(block, lambda i: (0,) + zeros,
                             memory_space=pltpu.VMEM)
     r = base // group
-    zeros = (0,) * (len(block) - 1)
     return pl.BlockSpec(block, lambda i: (i % r,) + zeros,
                         memory_space=pltpu.VMEM)
-
-
-def _prep(x: jax.Array, group: int, base: int) -> jax.Array:
-    reps = (group // base,) + (1,) * (x.ndim - 1)
-    return jnp.tile(x, reps) if group > base else x
 
 
 def _core_fwd(q, k, v, bm, srow):
     pairs, t, d = q.shape
     base = bm.shape[0]
-    group = _pick_group(pairs, base, t)
+    group = _pick_group(base, t)
     grid = pairs // group
     tile = pl.BlockSpec((group, t, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -231,13 +210,13 @@ def _core_fwd(q, k, v, bm, srow):
             bytes_accessed=4 * pairs * t * d * q.dtype.itemsize,
             transcendentals=pairs * t * t,
         ),
-    )(q, k, v, _prep(bm, group, base), _prep(srow, group, base))
+    )(q, k, v, bm, srow)
 
 
 def _core_bwd(q, k, v, bm, srow, do):
     pairs, t, d = q.shape
     base = bm.shape[0]
-    group = _pick_group(pairs, base, t)
+    group = _pick_group(base, t)
     grid = pairs // group
     tile = pl.BlockSpec((group, t, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -263,7 +242,7 @@ def _core_bwd(q, k, v, bm, srow, do):
             bytes_accessed=8 * pairs * t * d * q.dtype.itemsize,
             transcendentals=pairs * t * t,
         ),
-    )(q, k, v, _prep(bm, group, base), _prep(srow, group, base), do)
+    )(q, k, v, bm, srow, do)
     return dq, dk, dv, dbm, dsrow
 
 

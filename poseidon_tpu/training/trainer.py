@@ -266,6 +266,24 @@ class Trainer:
                 out[k] = jax.device_put(arr, sh)
         return out
 
+    def _device_prefetch(self, batch_iter):
+        """Yield device-resident batches with a ONE-batch transfer lookahead
+        running on a background thread: the host->device copy of batch N+1
+        overlaps step N's dispatch and execution (double buffering). The HF
+        Trainer the reference inherits gets the same overlap from CUDA's
+        non_blocking H2D copies (reference trainer.py:275 via accelerate)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            for b in batch_iter:
+                nxt = pool.submit(lambda rb: (rb, self._device_batch(rb)), b)
+                if fut is not None:
+                    yield fut.result()
+                fut = nxt
+            if fut is not None:
+                yield fut.result()
+
     # -- loops --------------------------------------------------------------
     def train(self, resume_from_checkpoint: Optional[bool] = None):
         a = self.args
@@ -306,11 +324,10 @@ class Trainer:
             # The old per-step float(metrics["loss"]) host sync serialized
             # dispatch and hid all data-loading overlap.
             pending_log = None
-            for bi, batch in enumerate(loader.epoch(epoch)):
+            for bi, (_, dbatch) in enumerate(self._device_prefetch(loader.epoch(epoch))):
                 global_step = epoch * steps_per_epoch + bi
                 self._maybe_profile(global_step)
                 rng = jax.random.fold_in(self.rng, global_step)
-                dbatch = self._device_batch(batch)
                 self.state, metrics = train_step(self.state, dbatch, rng)
                 n_running += 1
                 if (bi + 1) % log_every == 0:
@@ -377,10 +394,9 @@ class Trainer:
             num_workers=a.num_workers)
         eval_step = self._jitted("eval", self._eval_step)
         preds, labels, losses, counts = [], [], [], []
-        for batch in loader.epoch(0):
+        for batch, dbatch in self._device_prefetch(loader.epoch(0)):
             valid = int(batch.pop("_valid"))
             valid_global = int(batch.pop("_valid_global", valid))
-            dbatch = self._device_batch(batch)
             loss, pred = eval_step(self.state, dbatch, jnp.asarray(valid_global))
             if process_count() > 1:
                 # Each host sees the full global batch after allgather; trim
