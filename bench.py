@@ -81,20 +81,26 @@ def main():
         flops_per_step = float("nan")
     print(f"# cost analysis done", file=sys.stderr, flush=True)
 
-    # Warmup (3 steps).
+    # Warmup (3 steps). NOTE: through the remote tunnel only a scalar VALUE
+    # fetch is a reliable execution barrier (block_until_ready on arrays can
+    # return early); float(loss) forces the chain.
     for _ in range(3):
         params, opt_state, loss = step(params, opt_state, x, t, labels)
-    jax.block_until_ready(loss)
+    float(loss)
     print(f"# warmup done", file=sys.stderr, flush=True)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = step(params, opt_state, x, t, labels)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    # Same-graph step time varies ~+-8% run-to-run on the shared dev TPU;
+    # report the MEDIAN of several timing windows to reject transient noise.
+    windows = []
+    for _ in range(5):
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, loss = step(params, opt_state, x, t, labels)
+        float(loss)
+        windows.append((time.perf_counter() - t0) / iters)
 
-    step_time = dt / iters
+    step_time = float(np.median(windows))
     samples_per_sec = batch / step_time
 
     # v5e peak: 197 TFLOP/s bf16 per chip.

@@ -205,6 +205,14 @@ def main(argv=None):
                   f"(embedding/recovery replacement)")
     model = ScOT(config=model_config, dtype=_dtype(args.compute_dtype),
                  remat=args.gradient_checkpointing)
+    if (model_config.scan_blocks and not args.gradient_checkpointing
+            and jax.default_backend() in ("tpu", "axon")):
+        # Known failure mode: scan_blocks + non-remat backward + optimizer in
+        # one jit crashes the TPU compiler (see CLAUDE.md); scan+remat and
+        # unrolled configs both compile fine.
+        print("WARNING: scan_blocks without gradient_checkpointing is known "
+              "to crash the TPU compiler on the full train step; enable "
+              "gradient_checkpointing or disable scan_blocks.")
 
     channel_slices = list(train_ds.channel_slice_list)
     channel_names = list(train_ds.printable_channel_description)
