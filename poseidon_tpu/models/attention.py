@@ -198,9 +198,10 @@ class WindowAttention(nn.Module):
                 # The HF reference adds the shift mask twice
                 # (modeling_swinv2.py:513-520); bake the 2x in.
                 m = 2.0 * jnp.asarray(mask, jnp.float32)
-            out = fused_window_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), bias, m, scale).transpose(0, 2, 1, 3)
+            # Natural (N, T, H, D) layout straight off the QKV projection —
+            # the kernel wrapper does its ONE relayout to D-major internally.
+            out = fused_window_attention(q, k, v, bias, m, scale,
+                                         layout="nthd")
         else:
             # Cosine attention in fp32: L2-normalize q and k along the head dim
             # (torch F.normalize semantics: x / max(||x||, 1e-12)) — kept on

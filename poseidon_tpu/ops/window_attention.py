@@ -11,23 +11,29 @@ logit-scale vector ``srow``:
 Everything — the L2 normalization, the logit scaling, the score matmul, the
 bias/mask add, the softmax, and the PV matmul — runs on VMEM-resident data;
 nothing but q/k/v/o (and the tiny bm/srow) touches HBM. The XLA lowering by
-contrast materializes fp32 scores, stashes probabilities for the backward
-pass (~75 MB per stage-0 layer at batch 48), and runs the normalization as
-separate fp32 passes over (N, H, T, 32) arrays at 25% lane utilization. The
-backward kernel recomputes S and P from (q, k) instead of loading them.
+contrast materializes the scores AND stashes the probabilities for the
+backward pass (~75 MB per stage-0 layer at batch 48); the backward kernel
+here recomputes S and P from (q, k) instead of loading them.
 
-Design notes (v3; v1 lost to XLA — see git history — and v2 still paid ~1 ms
-per layer of out-of-kernel normalize glue):
-- matmuls take bf16 operands with fp32 accumulation and are BATCHED over G
-  (window, head) pairs per grid step via `dot_general` batch dimensions;
-- softmax runs in fp32; the 1/sum is folded into the (T, D) output rather
-  than spent as an extra (T, T) pass;
+Design notes (v4 — see git history for why v1-v3 lost to XLA):
+- **D-major tiles**: q/k/v/o live as (pair, D, T) inside the kernel, tokens
+  along the 128-wide lane axis. The L2 norms and the logit scale become
+  SUBLANE reductions/broadcasts (nearly free on the VPU); in the v3 T-major
+  (pair, T, D) layout the same ops ran at 32/128 lane occupancy with
+  lane<->sublane relayouts, making the backward 2.7x slower than XLA. A
+  forward-only probe (scripts/kernel_layout_probe.py) measured D-major at
+  347 us vs 581 us T-major for a full stage-0 layer.
+- matmuls take bf16 operands with fp32 accumulation, BATCHED over G
+  (window, head) pairs per grid step via `dot_general` batch dims; G never
+  exceeds the bm period (larger groups need in-kernel reshape-sum
+  accumulation, which crashes the Mosaic compiler).
+- softmax runs in fp32; the 1/sum is folded into the (D, T) output instead
+  of being spent as an extra (T, T) pass.
 - the logit scale is a per-ROW vector so that **small-T stages can be packed
-  block-diagonally**: for T in {16, 64} (scOT stages 2-3, where XLA wastes
-  7/8 of the VPU lanes on 16-wide score rows) P heads are packed along the
-  token axis into T' = P*T in {128, 256} tiles with -1e9 off-diagonal
-  filler. exp(-1e9 - m) underflows to exactly 0.0 in fp32, so the packed
-  softmax/PV is numerically identical to the unpacked one.
+  block-diagonally**: for T in {16, 64} (scOT stages 2-3) P heads are packed
+  along the token axis into T' = P*T in {128, 256} tiles with -1e9
+  off-diagonal filler. exp(-1e9 - m) underflows to exactly 0.0 in fp32, so
+  the packed softmax/PV is numerically identical to the unpacked one.
 
 Replaces the score pipeline of HF ``Swinv2SelfAttention`` (modeling_swinv2.py:
 479-533, used by /root/reference/scOT/model.py:539). On non-TPU backends the
@@ -76,7 +82,7 @@ def _pick_group(base: int, t: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Kernels
+# Kernels (D-major: q/k/v/o tiles are (G, D, T))
 # ---------------------------------------------------------------------------
 
 def _bdot(a, b, contract, preferred=jnp.float32):
@@ -86,20 +92,20 @@ def _bdot(a, b, contract, preferred=jnp.float32):
         a, b, (((ca,), (cb,)), ((0,), (0,))), preferred_element_type=preferred)
 
 
-def _normalize(x):
-    """f32 L2-normalize along the last axis (torch F.normalize semantics)."""
-    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+def _normalize_cols(x):
+    """f32 L2-normalize each column (token) of a (G, D, T) tile — a sublane
+    reduction + sublane broadcast (torch F.normalize semantics)."""
+    n = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
     return x / jnp.maximum(n, _EPS)
 
 
 def _scores(q_ref, k_ref, bm_ref, s_ref):
+    """qn, kn, qs (G, D, T) f32; scores S (G, T, T) f32 (incl. bm)."""
     cdt = q_ref.dtype
-    qn = _normalize(q_ref[...].astype(jnp.float32))
-    kn = _normalize(k_ref[...].astype(jnp.float32))
-    # s_ref is (G, 1, T): per-row logit scale, lane axis moved to rows here.
-    srow = jnp.squeeze(s_ref[...], axis=1)[:, :, None]  # (G, T, 1)
-    qs = qn * srow
-    s = _bdot(qs.astype(cdt), kn.astype(cdt), (2, 2)) + bm_ref[...]
+    qn = _normalize_cols(q_ref[...].astype(jnp.float32))
+    kn = _normalize_cols(k_ref[...].astype(jnp.float32))
+    qs = qn * s_ref[...]  # srow (G, 1, T) broadcasts over sublanes (D)
+    s = _bdot(qs.astype(cdt), kn.astype(cdt), (1, 1)) + bm_ref[...]
     return qn, kn, qs, s
 
 
@@ -107,10 +113,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bm_ref, s_ref, o_ref):
     _, _, _, s = _scores(q_ref, k_ref, bm_ref, s_ref)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    # Fold 1/denom into the (T, D) output instead of a (T, T) divide pass.
-    o = _bdot(e.astype(v_ref.dtype), v_ref[...], (2, 1))
-    o_ref[...] = (o / denom).astype(o_ref.dtype)
+    den = jnp.sum(e, axis=-1, keepdims=True)  # (G, T, 1)
+    # o[d, t] = sum_s v[d, s] p[t, s];  1/den folded into the (D, T) output.
+    o = _bdot(v_ref[...], e.astype(v_ref.dtype), (2, 2))
+    o_ref[...] = (o / den[:, :, 0][:, None, :]).astype(o_ref.dtype)
 
 
 def _acc(ref, i, value, base: int, g: int):
@@ -145,29 +151,30 @@ def _bwd_kernel(base: int, q_ref, k_ref, v_ref, bm_ref, s_ref, do_ref,
     qn, kn, qs, s = _scores(q_ref, k_ref, bm_ref, s_ref)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    do = do_ref[...].astype(jnp.float32)
+    den = jnp.sum(e, axis=-1, keepdims=True)  # (G, T, 1)
+    den_row = den[:, :, 0][:, None, :]        # (G, 1, T)
+    do = do_ref[...].astype(jnp.float32)      # (G, D, T)
 
-    # dv[s] = sum_t p[t,s] do[t] = sum_t e[t,s] (do[t]/denom[t])
-    dod = (do / denom).astype(cdt)
-    dv_ref[...] = _bdot(e.astype(cdt), dod, (1, 1)).astype(dv_ref.dtype)
-    # dp[t,s] = do[t] . v[s];  ds = p * (dp - sum_s dp*p)
-    dp = _bdot(do.astype(cdt), v_ref[...], (2, 2))
-    c = jnp.sum(dp * e, axis=-1, keepdims=True) / denom
-    ds = e * ((dp - c) / denom)
+    # dv[d, s] = sum_t p[t, s] do[d, t] = sum_t e[t, s] (do[d, t] / den[t])
+    dod = (do / den_row).astype(cdt)
+    dv_ref[...] = _bdot(dod, e.astype(cdt), (2, 1)).astype(dv_ref.dtype)
+    # dp[t, s] = sum_d do[d, t] v[d, s];  ds = p * (dp - sum_s dp*p)
+    dp = _bdot(do.astype(cdt), v_ref[...], (1, 1))
+    c = jnp.sum(dp * e, axis=-1, keepdims=True) / den
+    ds = e * ((dp - c) / den)
     dsb = ds.astype(cdt)
-    knc = kn.astype(cdt)
-    # dqs = ds @ kn ; dkn = ds^T @ qs
-    dqs = _bdot(dsb, knc, (2, 1))
-    dkn = _bdot(dsb, qs.astype(cdt), (1, 1))
-    # through the logit scale: qs = srow * qn
-    srow = jnp.squeeze(s_ref[...], axis=1)[:, :, None]  # (G, T, 1)
-    dsrow = jnp.sum(dqs * qn, axis=-1)[:, None, :]  # (G, 1, T)
+    # dqs[d, t] = sum_s kn[d, s] ds[t, s];  dkn[d, s] = sum_t qs[d, t] ds[t, s]
+    dqs = _bdot(kn.astype(cdt), dsb, (2, 2))
+    dkn = _bdot(qs.astype(cdt), dsb, (2, 1))
+    # through the logit scale: qs = srow * qn  (srow is (G, 1, T))
+    srow = s_ref[...]
+    dsrow = jnp.sum(dqs * qn, axis=1, keepdims=True)  # (G, 1, T) sublane sum
     dqn = dqs * srow
-    # through the L2 normalize: x -> x / max(||x||, eps)
+
+    # through the L2 normalize: x -> x / max(||x||, eps), per column
     def _norm_bwd(dxn, xn, x):
-        n = jnp.maximum(jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)), _EPS)
-        return (dxn - xn * jnp.sum(dxn * xn, axis=-1, keepdims=True)) / n
+        n = jnp.maximum(jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True)), _EPS)
+        return (dxn - xn * jnp.sum(dxn * xn, axis=1, keepdims=True)) / n
 
     q32 = q_ref[...].astype(jnp.float32)
     k32 = k_ref[...].astype(jnp.float32)
@@ -190,11 +197,11 @@ def _bm_spec(group: int, base: int, block):
 
 
 def _core_fwd(q, k, v, bm, srow):
-    pairs, t, d = q.shape
+    pairs, d, t = q.shape
     base = bm.shape[0]
     group = _pick_group(base, t)
     grid = pairs // group
-    tile = pl.BlockSpec((group, t, d), lambda i: (i, 0, 0),
+    tile = pl.BlockSpec((group, d, t), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _fwd_kernel,
@@ -203,7 +210,7 @@ def _core_fwd(q, k, v, bm, srow):
                   _bm_spec(group, base, (group, t, t)),
                   _bm_spec(group, base, (group, 1, t))],
         out_specs=tile,
-        out_shape=jax.ShapeDtypeStruct((pairs, t, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((pairs, d, t), q.dtype),
         interpret=_needs_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=4 * pairs * t * t * d,
@@ -214,13 +221,13 @@ def _core_fwd(q, k, v, bm, srow):
 
 
 def _core_bwd(q, k, v, bm, srow, do):
-    pairs, t, d = q.shape
+    pairs, d, t = q.shape
     base = bm.shape[0]
     group = _pick_group(base, t)
     grid = pairs // group
-    tile = pl.BlockSpec((group, t, d), lambda i: (i, 0, 0),
+    tile = pl.BlockSpec((group, d, t), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    out_tile = jax.ShapeDtypeStruct((pairs, t, d), q.dtype)
+    out_tile = jax.ShapeDtypeStruct((pairs, d, t), q.dtype)
     const3 = pl.BlockSpec((base, t, t), lambda i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     const2 = pl.BlockSpec((base, 1, t), lambda i: (0, 0, 0),
@@ -284,48 +291,64 @@ def _pack_filler(hp: int, p: int, t: int) -> np.ndarray:
     return np.broadcast_to((1.0 - eye) * _NEG, (hp, p * t, p * t)).copy()
 
 
-def fused_window_attention(q, k, v, bias, mask, scale):
+def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
     """Full fused cosine window attention.
 
     Args:
-        q, k, v: (N, H, T, D) projected (unnormalized) q/k/v; N must be a
-            multiple of the window count nW (windows of one image contiguous).
+        q, k, v: projected (unnormalized) q/k/v as (N, H, T, D) when
+            ``layout == "nhtd"`` or (N, T, H, D) — the natural layout straight
+            off the QKV projection, saving one relayout per tensor — when
+            ``layout == "nthd"``. N must be a multiple of the window count nW
+            (windows of one image contiguous).
         bias: (H, T, T) fp32 position bias (already 16*sigmoid'd).
         mask: (nW, T, T) fp32 additive shift mask, already doubled by the
             caller (the HF reference adds it twice); zeros when unshifted.
         scale: (H,) fp32 exp(clamped logit_scale).
     Returns:
-        (N, H, T, D) attention output in q's dtype.
+        Attention output in q's dtype, in the same layout as the inputs.
     """
-    n, h, t, d = q.shape
+    if layout == "nthd":
+        n, t, h, d = q.shape
+        # ONE lane relayout per tensor: (N, T, H, D) -> (N, H, D, T).
+        to_hdT = lambda x: jnp.transpose(x, (0, 2, 3, 1))
+        from_hdT = lambda x: jnp.transpose(x, (0, 3, 1, 2))
+    else:
+        n, h, t, d = q.shape
+        to_hdT = lambda x: jnp.transpose(x, (0, 1, 3, 2))
+        from_hdT = lambda x: jnp.transpose(x, (0, 1, 3, 2))
     nw = mask.shape[0]
     bm = bias[None] + mask[:, None]  # (nW, H, T, T) fp32
 
     p = _pick_pack(nw, h, t)
     if p > 1:
         hp, tp = h // p, p * t
-        # (N, H, T, D) -> (N, H', T'=P*T, D): adjacent-axis merge, a free view.
-        qp = q.reshape(n, hp, tp, d)
-        kp = k.reshape(n, hp, tp, d)
-        vp = v.reshape(n, hp, tp, d)
+
+        def pack(x):
+            # (N, H, D, T) -> (N, H', D, T'=P*T): the (p, d) swap keeps the
+            # lane axis (T) in place, so only the to_hdT relayout is paid.
+            x = to_hdT(x).reshape(n, hp, p, d, t)
+            return x.transpose(0, 1, 3, 2, 4).reshape(n * hp, d, tp)
+
         # Block-diagonal bm: per-head blocks on the diagonal, -1e9 elsewhere.
         filler = jnp.asarray(_pack_filler(hp, p, t))
         blocks = bm[0].reshape(hp, p, t, t)
         bmp = filler
         for j in range(p):
             bmp = jax.lax.dynamic_update_slice(bmp, blocks[:, j], (0, j * t, j * t))
-        srow = jnp.repeat(scale.reshape(hp, p), t, axis=1)[:, None, :]  # (H', 1, T')
-        out = _attention_core(
-            qp.reshape(n * hp, tp, d), kp.reshape(n * hp, tp, d),
-            vp.reshape(n * hp, tp, d), bmp, srow)
-        return out.reshape(n, hp, tp, d).reshape(n, h, t, d)
+        srow = jnp.repeat(scale.reshape(hp, p), t, axis=1)[:, None, :]  # (H',1,T')
+        out = _attention_core(pack(q), pack(k), pack(v), bmp, srow)
+        out = (out.reshape(n, hp, d, p, t).transpose(0, 1, 3, 2, 4)
+               .reshape(n, h, d, t))
+        return from_hdT(out)
 
     base = nw * h
     srow = jnp.broadcast_to(scale[None, :, None], (nw, h, t)).reshape(base, 1, t)
-    out = _attention_core(
-        q.reshape(n * h, t, d), k.reshape(n * h, t, d),
-        v.reshape(n * h, t, d), bm.reshape(base, t, t), srow)
-    return out.reshape(n, h, t, d)
+
+    def flat(x):
+        return to_hdT(x).reshape(n * h, d, t)
+
+    out = _attention_core(flat(q), flat(k), flat(v), bm.reshape(base, t, t), srow)
+    return from_hdT(out.reshape(n, h, d, t))
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,8 @@ if __name__ == "__main__":
         "b192_remat": dict(batch=192, remat=True),
         "b96_scan_remat": dict(batch=96, remat=True, scan_blocks=True),
         "b48_pallas": dict(batch=48, attention_impl="pallas"),
+        "b96_pallas": dict(batch=96, attention_impl="pallas"),
+        "b128_pallas": dict(batch=128, attention_impl="pallas"),
     }
     for tag, over in runs.items():
         if which != "all" and which != tag:
