@@ -2,7 +2,7 @@
 
 Measures the full training step (fwd + bwd + AdamW with the 4-group optimizer,
 bf16 compute / fp32 params) on the flagship configuration — ScOT-B, 128x128,
-4-channel NS-style input, per-chip batch 48 — and prints ONE JSON line:
+4-channel NS-style input, per-chip batch 96 — and prints ONE JSON line:
   {"metric": ..., "value": samples/sec, "unit": ..., "vs_baseline": ...}
 
 vs_baseline reports measured model FLOP utilization (MFU) relative to the
@@ -29,16 +29,17 @@ def main():
 
     enable_compilation_cache()
 
-    # Best measured round-1 config: unrolled stages, XLA attention (beats the
-    # fused Pallas kernel at these window sizes), fused QKV, slice-based CPB,
-    # bf16 scores (production pretraining mode; loss matches fp32 scores to
-    # ~1e-7 on this step), per-chip batch 48.
+    # Best measured config (round 2): unrolled stages, fused D-major Pallas
+    # attention (fwd + recompute-bwd — no probability stash, so batch 96
+    # scales where the XLA path thrashes HBM), fused QKV, slice-based CPB,
+    # bf16 compute, per-chip batch 96.
     # Progression: 167 (initial) -> 317 (fused QKV) -> 404 (slice CPB) ->
-    # 468 (folded scale) -> 568 samples/s (bf16 scores).
-    batch = 48
+    # 468 (folded scale) -> 568 (bf16 scores, b48) -> 633 samples/s
+    # (D-major pallas attention, b96).
+    batch = 96
     cfg = make_config("B", image_size=128, num_channels=4, num_out_channels=4,
                       channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
-                      score_dtype="bfloat16")
+                      score_dtype="bfloat16", attention_impl="pallas")
     model = ScOT(config=cfg, dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
@@ -122,6 +123,7 @@ def main():
             "batch": batch,
             "device": str(kind),
             "score_dtype": "bfloat16",
+            "attention_impl": "pallas",
             "loss": float(loss),
         },
     }))

@@ -87,6 +87,9 @@ if __name__ == "__main__":
         "b48_pallas": dict(batch=48, attention_impl="pallas"),
         "b96_pallas": dict(batch=96, attention_impl="pallas"),
         "b128_pallas": dict(batch=128, attention_impl="pallas"),
+        "b96_scan_pallas": dict(batch=96, attention_impl="pallas", scan_blocks=True),
+        "b96_scan_remat_pallas": dict(batch=96, attention_impl="pallas",
+                                      scan_blocks=True, remat=True),
     }
     for tag, over in runs.items():
         if which != "all" and which != tag:
