@@ -169,15 +169,6 @@ class WindowAttention(nn.Module):
                          self.initializer_range, name="value")()
         w_qkv = jnp.concatenate([wq[0], wk[0], wv[0]], axis=1).astype(self.dtype)
         qkv = jnp.dot(x.astype(self.dtype), w_qkv)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        if self.qkv_bias:
-            q = q + wq[1].astype(q.dtype)
-            v = v + wv[1].astype(v.dtype)
-        # Keep the natural (N, T, H, D) layout — einsum contracts directly,
-        # avoiding explicit head transposes (XLA layout copies).
-        q = q.reshape(bnw, t, heads, hd)
-        k = k.reshape(bnw, t, heads, hd)
-        v = v.reshape(bnw, t, heads, hd)
 
         logit_scale = self.param(
             "logit_scale",
@@ -198,49 +189,74 @@ class WindowAttention(nn.Module):
                 # The HF reference adds the shift mask twice
                 # (modeling_swinv2.py:513-520); bake the 2x in.
                 m = 2.0 * jnp.asarray(mask, jnp.float32)
-            # Natural (N, T, H, D) layout straight off the QKV projection —
-            # the kernel wrapper does its ONE relayout to D-major internally.
-            out = fused_window_attention(q, k, v, bias, m, scale,
-                                         layout="nthd")
-        else:
-            # Cosine attention in fp32: L2-normalize q and k along the head dim
-            # (torch F.normalize semantics: x / max(||x||, 1e-12)) — kept on
-            # the SMALL (B, T, H, 32) tensors; scaling the (B, H, T, T) score
-            # matrix by rsqrt factors instead was measured 15 ms/step SLOWER
-            # (extra passes + backward reductions over the score tensor), and
-            # block-diagonal head packing of the tiny stages was ~15 ms/step
-            # slower too (PK^2 x the score volume; XLA already handles the
-            # small shapes well in-model). The learned logit scale is folded
-            # into q BEFORE the score matmul — same math, but it avoids an
-            # extra full pass over the (N, H, T, T) score tensor.
-            qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
-            qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
-            kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
-            scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
-            qf = qf * scale.reshape(1, 1, heads, 1)
-            sd = self.score_dtype
-            scores = jnp.einsum("bthd,bshd->bhts", qf.astype(sd), kf.astype(sd),
-                                preferred_element_type=sd)
-            scores = scores + bias[None].astype(sd)
+            # ONE relayout of the fused QKV output to the kernel's D-major
+            # world ((N, 3C, T) with tokens on lanes) instead of three
+            # separate q/k/v relayouts; the channel split and the head
+            # reshape are then free views.
+            qkv_T = qkv.transpose(0, 2, 1)  # (bnw, 3C, T)
+            qT, kT, vT = jnp.split(qkv_T, 3, axis=1)
+            if self.qkv_bias:
+                qT = qT + wq[1].astype(qT.dtype)[None, :, None]
+                vT = vT + wv[1].astype(vT.dtype)[None, :, None]
+            out = fused_window_attention(
+                qT.reshape(bnw, heads, hd, t), kT.reshape(bnw, heads, hd, t),
+                vT.reshape(bnw, heads, hd, t), bias, m, scale,
+                layout="nhdt")
+            # (bnw, H, D, T) -> (bnw, T, C): the single output relayout.
+            out = out.reshape(bnw, c, t).transpose(0, 2, 1)
+            out = dense(self.dim, name="proj")(out)
+            if self.proj_drop > 0.0 and not deterministic:
+                out = nn.Dropout(self.proj_drop)(out, deterministic=False)
+            return out
 
-            if mask is not None:
-                nw = mask.shape[0]
-                m = jnp.asarray(mask, dtype=sd)
-                # Mask added twice in the HF reference; a single 2x add
-                # reproduces the exact pre-softmax logits.
-                scores = scores.reshape(bnw // nw, nw, heads, t, t) + 2.0 * m[None, :, None]
-                scores = scores.reshape(bnw, heads, t, t)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.qkv_bias:
+            q = q + wq[1].astype(q.dtype)
+            v = v + wv[1].astype(v.dtype)
+        # Keep the natural (N, T, H, D) layout — einsum contracts directly,
+        # avoiding explicit head transposes (XLA layout copies).
+        q = q.reshape(bnw, t, heads, hd)
+        k = k.reshape(bnw, t, heads, hd)
+        v = v.reshape(bnw, t, heads, hd)
 
-            probs = jax.nn.softmax(scores, axis=-1)
-            if self.attn_drop > 0.0 and not deterministic:
-                probs = nn.Dropout(self.attn_drop)(probs, deterministic=False)
-            # output_attentions surface (reference model.py:57-63): captured
-            # only under apply(..., mutable=["intermediates"]); DCE'd by XLA
-            # otherwise.
-            self.sow("intermediates", "attention_probs", probs)
-            probs = probs.astype(v.dtype)
-            out = jnp.einsum("bhts,bshd->bthd", probs, v)
+        # Cosine attention in fp32: L2-normalize q and k along the head dim
+        # (torch F.normalize semantics: x / max(||x||, 1e-12)) — kept on
+        # the SMALL (B, T, H, 32) tensors; scaling the (B, H, T, T) score
+        # matrix by rsqrt factors instead was measured 15 ms/step SLOWER
+        # (extra passes + backward reductions over the score tensor), and
+        # block-diagonal head packing of the tiny stages was ~15 ms/step
+        # slower too (PK^2 x the score volume; XLA already handles the
+        # small shapes well in-model). The learned logit scale is folded
+        # into q BEFORE the score matmul — same math, but it avoids an
+        # extra full pass over the (N, H, T, T) score tensor.
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+        kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+        scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))
+        qf = qf * scale.reshape(1, 1, heads, 1)
+        sd = self.score_dtype
+        scores = jnp.einsum("bthd,bshd->bhts", qf.astype(sd), kf.astype(sd),
+                            preferred_element_type=sd)
+        scores = scores + bias[None].astype(sd)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            m = jnp.asarray(mask, dtype=sd)
+            # Mask added twice in the HF reference; a single 2x add
+            # reproduces the exact pre-softmax logits.
+            scores = scores.reshape(bnw // nw, nw, heads, t, t) + 2.0 * m[None, :, None]
+            scores = scores.reshape(bnw, heads, t, t)
+
+        probs = jax.nn.softmax(scores, axis=-1)
+        if self.attn_drop > 0.0 and not deterministic:
+            probs = nn.Dropout(self.attn_drop)(probs, deterministic=False)
+        # output_attentions surface (reference model.py:57-63): captured
+        # only under apply(..., mutable=["intermediates"]); DCE'd by XLA
+        # otherwise.
+        self.sow("intermediates", "attention_probs", probs)
+        probs = probs.astype(v.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v)
 
         out = out.reshape(bnw, t, c)
         out = dense(self.dim, name="proj")(out)

@@ -296,9 +296,10 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
 
     Args:
         q, k, v: projected (unnormalized) q/k/v as (N, H, T, D) when
-            ``layout == "nhtd"`` or (N, T, H, D) — the natural layout straight
-            off the QKV projection, saving one relayout per tensor — when
-            ``layout == "nthd"``. N must be a multiple of the window count nW
+            ``layout == "nhtd"``, (N, T, H, D) (``"nthd"``), or already
+            D-major (N, H, D, T) (``"nhdt"`` — what the module produces with
+            a single relayout of the fused QKV output; zero further
+            transposes). N must be a multiple of the window count nW
             (windows of one image contiguous).
         bias: (H, T, T) fp32 position bias (already 16*sigmoid'd).
         mask: (nW, T, T) fp32 additive shift mask, already doubled by the
@@ -307,7 +308,12 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
     Returns:
         Attention output in q's dtype, in the same layout as the inputs.
     """
-    if layout == "nthd":
+    if layout == "nhdt":
+        # Already D-major (the module relayouts the fused QKV output once
+        # and splits it for free): no per-tensor transposes at all.
+        n, h, d, t = q.shape
+        to_hdT = from_hdT = lambda x: x
+    elif layout == "nthd":
         n, t, h, d = q.shape
         # ONE lane relayout per tensor: (N, T, H, D) -> (N, H, D, T).
         to_hdT = lambda x: jnp.transpose(x, (0, 2, 3, 1))

@@ -102,3 +102,20 @@ def test_full_size_metric_parity(b_pair):
         relative_lp_error(tpred, labels, p=1, return_percent=True),
         torch_relative_lp_error(tpred, labels, p=1, return_percent=True),
         rtol=1e-6)
+
+
+def test_full_size_pallas_matches_xla(b_pair):
+    """The fused D-major Pallas attention (interpret mode on CPU — the same
+    code path that compiles on TPU) must match the XLA path at full ScOT-B
+    scale, covering window-16 tiles and the packed T=64/16 stages."""
+    _, jmodel, variables = b_pair
+    cfg_p = jmodel.config.replace(attention_impl="pallas")
+    from poseidon_tpu import ScOT
+
+    jmodel_p = ScOT(config=cfg_p)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 4, 128, 128)).astype(np.float32)
+    t = np.asarray([0.5], np.float32)
+    y_x = np.asarray(jmodel.apply(variables, jnp.asarray(x), jnp.asarray(t)))
+    y_p = np.asarray(jmodel_p.apply(variables, jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(y_p, y_x, atol=2e-4, rtol=1e-3)
