@@ -90,3 +90,47 @@ class TestModelWithPallasAttention:
         y_p = m_p.apply(variables, x, t)
         np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestPackedPath:
+    """Block-diagonal head packing (T < 128, nW == 1) — values AND gradients
+    must match the unpacked reference."""
+
+    def test_packed_forward_and_grad(self):
+        # t=16, h=8 -> P=8 -> one 128-token tile per (image, packed-head).
+        rng = np.random.default_rng(3)
+        n, h, t, d = 4, 8, 16, 32
+        q = jnp.asarray(rng.normal(size=(n, h, t, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(n, h, t, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(n, h, t, d)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(h, t, t)) * 2.0, jnp.float32)
+        scale = jnp.asarray(rng.uniform(1.0, 50.0, size=(h,)), jnp.float32)
+        mask = jnp.zeros((1, t, t), jnp.float32)  # unshifted (packing gate)
+
+        out = fused_window_attention(q, k, v, bias, mask, scale)
+        ref = _forward_reference(q, k, v, bias, mask, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+        def loss_fused(q, k, v, bias, mask, scale):
+            return jnp.sum(fused_window_attention(q, k, v, bias, mask, scale) ** 2)
+
+        def loss_ref(q, k, v, bias, mask, scale):
+            return jnp.sum(_forward_reference(q, k, v, bias, mask, scale) ** 2)
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 5))(q, k, v, bias, mask, scale)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 5))(q, k, v, bias, mask, scale)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+
+    def test_nhdt_layout_matches(self):
+        q, k, v, bias, mask, scale = make_inputs(n=8, h=3, t=64, d=32, nw=4)
+        out_default = fused_window_attention(q, k, v, bias, mask, scale)
+        q2 = q.transpose(0, 1, 3, 2)  # (N, H, D, T)
+        k2 = k.transpose(0, 1, 3, 2)
+        v2 = v.transpose(0, 1, 3, 2)
+        out_nhdt = fused_window_attention(q2, k2, v2, bias, mask, scale,
+                                          layout="nhdt")
+        np.testing.assert_allclose(np.asarray(out_nhdt.transpose(0, 1, 3, 2)),
+                                   np.asarray(out_default), atol=1e-6)
