@@ -78,3 +78,30 @@ def shard_batch(batch, mesh: Mesh):
     """device_put a host batch with the batch dim sharded over 'data'."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+# ---------------------------------------------------------------------------
+# Attention-kernel mesh context
+# ---------------------------------------------------------------------------
+#
+# The fused Pallas attention is a custom call the SPMD partitioner cannot
+# split on its own (it would all-gather the batch around every kernel).
+# When a >1-device data axis is active, the kernel wrapper shard_maps its
+# core over 'data' instead — shard_map's reverse-mode automatically psums
+# the cotangents of the replicated bias/scale operands. The active mesh is
+# communicated via this context (set by the Trainer / dryrun at trace time).
+
+_ATTENTION_MESH: Optional[Mesh] = None
+
+
+def set_attention_mesh(mesh: Optional[Mesh]) -> None:
+    """Declare the mesh the attention kernels should shard over (None = off)."""
+    global _ATTENTION_MESH
+    _ATTENTION_MESH = mesh
+
+
+def attention_mesh() -> Optional[Mesh]:
+    m = _ATTENTION_MESH
+    if m is not None and m.shape.get("data", 1) > 1:
+        return m
+    return None

@@ -71,6 +71,10 @@ class Trainer:
         self.eval_dataset = eval_dataset
         self.compute_metrics = compute_metrics
         self.mesh = mesh if mesh is not None else make_mesh(num_model=args.num_model_shards)
+        # Let the fused attention kernels shard over the data axis (no-op on
+        # a single-device data mesh); see parallel.mesh.set_attention_mesh.
+        from ..parallel.mesh import set_attention_mesh
+        set_attention_mesh(self.mesh)
         data_size = self.mesh.shape["data"]
         for name, bs in (("train_batch_size", args.train_batch_size),
                          ("eval_batch_size", args.eval_batch_size)):

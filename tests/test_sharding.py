@@ -60,3 +60,55 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(2)
+
+
+class TestPallasUnderMesh:
+    """The fused attention kernels must shard over the data axis (via the
+    shard_map wrapper in ops/window_attention._sharded_core) instead of being
+    all-gathered around by the SPMD partitioner."""
+
+    def test_no_allgather_and_numerics(self):
+        import re
+
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from poseidon_tpu import ScOT, make_config
+        from poseidon_tpu.parallel.mesh import set_attention_mesh
+
+        cfg = make_config("T", image_size=32, patch_size=4, num_channels=3,
+                          num_out_channels=2, embed_dim=16, depths=(2, 2),
+                          num_heads=(2, 2), skip_connections=(1, 0),
+                          window_size=4, mlp_ratio=2.0,
+                          channel_slice_list=(0, 1, 2), use_conditioning=True,
+                          attention_impl="pallas")
+        m = ScOT(config=cfg)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3, 32, 32)),
+                        jnp.float32)
+        t = jnp.linspace(0.1, 0.9, 8)
+        v = m.init(jax.random.PRNGKey(0), x[:1], t[:1])
+        try:
+            set_attention_mesh(mesh)
+            xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+            ts = jax.device_put(t, NamedSharding(mesh, P("data")))
+            vr = jax.device_put(v, NamedSharding(mesh, P()))
+            f = jax.jit(lambda v, x, t: m.apply(v, x, t))
+            txt = f.lower(vr, xs, ts).compile().as_text()
+            assert len(re.findall(r"all-gather", txt)) == 0
+            y = f(vr, xs, ts)
+
+            def loss(v, x, t):
+                return jnp.sum(m.apply(v, x, t) ** 2)
+
+            g_sh = jax.jit(jax.grad(loss))(vr, xs, ts)
+        finally:
+            set_attention_mesh(None)
+        y1 = jax.jit(lambda v, x, t: m.apply(v, x, t))(v, x, t)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y1), atol=1e-5)
+        g1 = jax.jit(jax.grad(loss))(v, x, t)
+        for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
