@@ -291,19 +291,23 @@ def _pack_filler(hp: int, p: int, t: int) -> np.ndarray:
     return np.broadcast_to((1.0 - eye) * _NEG, (hp, p * t, p * t)).copy()
 
 
-def _sharded_core(pairs: int):
+def _sharded_core(pairs: int, base: int):
     """The attention core, shard_mapped over the data axis when a >1-device
     data mesh is active (see parallel.mesh.set_attention_mesh). The SPMD
     partitioner cannot split the Pallas custom calls itself — without this it
     all-gathers the batch around every kernel. shard_map's reverse-mode
-    automatically psums the cotangents of the replicated bm/srow operands."""
+    automatically psums the cotangents of the replicated bm/srow operands.
+
+    Every shard must receive WHOLE images (a multiple of the bm period
+    ``base``) or the kernel's modular bias indexing and grid sizing break —
+    fall back to the unsharded core otherwise."""
     from ..parallel.mesh import attention_mesh
 
     mesh = attention_mesh()
     if mesh is None:
         return _attention_core
     n_data = mesh.shape["data"]
-    if pairs % n_data != 0:
+    if pairs % (n_data * base) != 0:
         return _attention_core
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -365,7 +369,7 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
         for j in range(p):
             bmp = jax.lax.dynamic_update_slice(bmp, blocks[:, j], (0, j * t, j * t))
         srow = jnp.repeat(scale.reshape(hp, p), t, axis=1)[:, None, :]  # (H',1,T')
-        out = _sharded_core(n * hp)(pack(q), pack(k), pack(v), bmp, srow)
+        out = _sharded_core(n * hp, hp)(pack(q), pack(k), pack(v), bmp, srow)
         out = (out.reshape(n, hp, d, p, t).transpose(0, 1, 3, 2, 4)
                .reshape(n, h, d, t))
         return from_hdT(out)
@@ -376,8 +380,8 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
     def flat(x):
         return to_hdT(x).reshape(n * h, d, t)
 
-    out = _sharded_core(n * h)(flat(q), flat(k), flat(v),
-                              bm.reshape(base, t, t), srow)
+    out = _sharded_core(n * h, base)(flat(q), flat(k), flat(v),
+                                    bm.reshape(base, t, t), srow)
     return from_hdT(out.reshape(n, h, d, t))
 
 

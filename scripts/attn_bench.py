@@ -83,6 +83,7 @@ def xla_combined(q, k, v, bias, mask, scale, score_dtype=jnp.bfloat16):
 
 
 def pallas_v1(q, k, v, bias, mask, scale):
+    # current kernel (v4 D-major), via the test-facing (N, H, T, D) layout
     from poseidon_tpu.ops.window_attention import fused_window_attention
     return fused_window_attention(q, k, v, bias, 2.0 * mask, scale)
 
@@ -139,12 +140,7 @@ def main():
         print(f"--- {sname}: {sh} (fwd+bwd) ---")
         bench("xla_current", xla_current, inputs)
         bench("xla_combined", xla_combined, inputs)
-        bench("pallas_v1", pallas_v1, inputs)
-        try:
-            from poseidon_tpu.ops.window_attention import fused_window_attention_v2
-            bench("pallas_v2", lambda *a: fused_window_attention_v2(*a[:4], 2.0 * a[4], a[5]), inputs)
-        except ImportError:
-            pass
+        bench("pallas", pallas_v1, inputs)
 
 
 if __name__ == "__main__":

@@ -134,3 +134,34 @@ class TestPackedPath:
                                           layout="nhdt")
         np.testing.assert_allclose(np.asarray(out_nhdt.transpose(0, 1, 3, 2)),
                                    np.asarray(out_default), atol=1e-6)
+
+
+class TestPallasRollout:
+    """AR rollout (lax.scan) over the pallas-attention model — scan x
+    custom_vjp x pallas interop, matching the XLA-attention rollout."""
+
+    def test_rollout_matches_xla(self):
+        from poseidon_tpu import ScOT, make_config
+        from poseidon_tpu.training.rollout import autoregressive_rollout
+
+        kw = dict(image_size=32, patch_size=4, num_channels=3, num_out_channels=3,
+                  embed_dim=16, depths=(2, 2), num_heads=(2, 2),
+                  skip_connections=(1, 0), window_size=4, mlp_ratio=2.0,
+                  channel_slice_list=(0, 1, 2), use_conditioning=True)
+        cfg_x = make_config("T", **kw)
+        cfg_p = cfg_x.replace(attention_impl="pallas")
+        m_x, m_p = ScOT(config=cfg_x), ScOT(config=cfg_p)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)),
+                        jnp.float32)
+        t = jnp.asarray([0.6, 0.8])
+        v = m_x.init(jax.random.PRNGKey(0), x, t)
+
+        def run(m):
+            return autoregressive_rollout(
+                lambda xx, tt: m.apply(v, xx, tt), x, t, ar_steps=3,
+                num_out_channels=3)
+
+        y_x = jax.jit(lambda: run(m_x))()
+        y_p = jax.jit(lambda: run(m_p))()
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                   atol=2e-5, rtol=1e-4)
