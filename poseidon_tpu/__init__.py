@@ -6,7 +6,8 @@ Reference capability target: camlab-ethz/poseidon (mounted read-only at
 """
 
 from .config import MODEL_MAP, ScOTConfig, make_config
-from .models.scot import ScOT, apply_pixel_mask, scot_loss
+from .models.scot import (ScOT, apply_pixel_mask,
+                          forward_with_intermediates, scot_loss)
 
 __version__ = "0.1.0"
 
@@ -16,5 +17,6 @@ __all__ = [
     "make_config",
     "ScOT",
     "apply_pixel_mask",
+    "forward_with_intermediates",
     "scot_loss",
 ]
