@@ -103,6 +103,47 @@ def autoregressive_rollout(
     return stacked[-1]
 
 
+def rollout_with_intermediates(
+    model,
+    variables,
+    pixel_values: jax.Array,
+    time: jax.Array,
+    ar_steps: Union[int, Sequence[float]],
+    **apply_kwargs,
+):
+    """AR rollout that also stacks every step's hidden states and attention
+    probabilities along a new time axis (axis 1), mirroring the reference's
+    ``output_all_steps`` surface (/root/reference/scOT/trainer.py:576-592:
+    ``hidden_states_`` / ``attentions_`` are zipped across steps and each
+    leaf stacked at dim 1).
+
+    Runs an eager Python loop (one jittable forward per step) — this is an
+    inspection/evaluation surface, not a training path. Returns
+    ``(predictions (B, n, C_out, H, W), hidden_states, attentions)`` where
+    the latter two are lists with one (B, n, ...) array per layer.
+    """
+    from ..models.scot import forward_with_intermediates
+
+    num_out = model.config.num_out_channels
+    c_in = pixel_values.shape[1]
+    static = pixel_values[:, num_out:] if c_in > num_out else None
+    step_times = _step_times(time, ar_steps)
+
+    preds, hs_steps, attn_steps = [], [], []
+    x = pixel_values
+    for i in range(step_times.shape[0]):
+        pred, hs, attn = forward_with_intermediates(
+            model, variables, x, step_times[i], **apply_kwargs)
+        preds.append(pred)
+        hs_steps.append(hs)
+        attn_steps.append(attn)
+        fed = jax.lax.stop_gradient(pred)
+        x = jnp.concatenate([fed, static], axis=1) if static is not None else fed
+
+    stack = lambda per_step: [jnp.stack(layer, axis=1) for layer in zip(*per_step)]
+    return jnp.stack(preds, axis=1), stack(hs_steps), stack(attn_steps)
+
+
 def rollout_loss(
     step_fn: StepFn,
     loss_fn: Callable[[jax.Array, jax.Array], jax.Array],

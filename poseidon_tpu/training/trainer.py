@@ -124,8 +124,26 @@ class Trainer:
         params_sh = params_shardings(variables["params"], self.mesh)
         params = jax.tree.map(
             lambda x, s: jax.device_put(jnp.asarray(x), s), variables["params"], params_sh)
-        opt_state = jax.jit(
-            tx.init, out_shardings=None)(params) if self.train_dataset is not None else ()
+        if self.train_dataset is not None:
+            # Adam moments must be EXPLICITLY FSDP-sharded like the params
+            # they mirror: jit's sharding propagation from the param inputs
+            # does NOT shard tx.init outputs (measured: all moments land
+            # replicated, doubling HBM at B/L scale). Derive each leaf's spec
+            # from its own shape — moments have exactly the param shapes,
+            # scalars (schedule counts) replicate.
+            from jax.sharding import NamedSharding
+
+            from ..parallel.mesh import assert_opt_state_sharded, param_partition_spec
+
+            opt_sh = jax.tree.map(
+                lambda l: NamedSharding(
+                    self.mesh, param_partition_spec(l.shape, self.mesh)),
+                jax.eval_shape(tx.init, params))
+            opt_state = jax.jit(tx.init, out_shardings=opt_sh)(params)
+            if self.mesh.shape.get("model", 1) > 1:
+                assert_opt_state_sharded(opt_state, self.mesh)
+        else:
+            opt_state = ()
         bs = variables.get("batch_stats")
         if bs is not None:
             bs = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), replicated(self.mesh)), bs)
@@ -290,6 +308,9 @@ class Trainer:
 
     # -- loops --------------------------------------------------------------
     def train(self, resume_from_checkpoint: Optional[bool] = None):
+        from ..parallel.mesh import set_attention_mesh
+
+        set_attention_mesh(self.mesh)  # re-assert before any (re)trace
         a = self.args
         if resume_from_checkpoint is None:
             resume_from_checkpoint = a.resume_from_checkpoint
@@ -378,17 +399,37 @@ class Trainer:
 
     def evaluate(self, dataset=None) -> Dict[str, float]:
         dataset = dataset if dataset is not None else self.eval_dataset
+        cm = self.compute_metrics
+        if (cm is not None and hasattr(cm, "per_sample")
+                and not self.output_all_steps):
+            # Streaming path: per-sample error vectors are O(N) host memory;
+            # predictions are never concatenated (the reference instead bounds
+            # device memory with eval_accumulation_steps=16, train.py:283).
+            samples: Dict[str, List[np.ndarray]] = {}
+            losses, counts = [], []
+            for pred, lab, loss, valid in self._eval_batches(dataset):
+                for k, v in cm.per_sample(pred, lab).items():
+                    samples.setdefault(k, []).append(v)
+                losses.append(loss)
+                counts.append(valid)
+            out = {"loss": float(np.average(np.asarray(losses),
+                                            weights=np.asarray(counts)))}
+            out.update(cm.from_samples(
+                {k: np.concatenate(v) for k, v in samples.items()}))
+            return out
         preds, labels, loss = self._predict_arrays(dataset)
         out = {"loss": loss}
-        if self.compute_metrics is not None:
-            out.update(self.compute_metrics(preds, labels))
+        out.update(self._metric_battery(preds, labels))
         return out
 
-    def _predict_arrays(self, dataset):
-        """Returns (predictions, labels, loss) with loader padding excluded
-        from all three: predictions/labels are trimmed to the valid count and
-        per-batch losses are masked in-step and averaged weighted by their
-        valid counts (matching the reference's uneven final eval batch)."""
+    def _eval_batches(self, dataset):
+        """Yield per-batch ``(predictions, labels, loss, valid_count)`` with
+        loader padding excluded: predictions/labels are trimmed to the valid
+        count and losses are masked in-step (matching the reference's uneven
+        final eval batch)."""
+        from ..parallel.mesh import set_attention_mesh
+
+        set_attention_mesh(self.mesh)  # re-assert before any (re)trace
         a = self.args
         from ..data.loader import DataLoader
 
@@ -397,7 +438,6 @@ class Trainer:
             num_hosts=process_count(), host_id=process_index(),
             num_workers=a.num_workers)
         eval_step = self._jitted("eval", self._eval_step)
-        preds, labels, losses, counts = [], [], [], []
         for batch, dbatch in self._device_prefetch(loader.epoch(0)):
             valid = int(batch.pop("_valid"))
             valid_global = int(batch.pop("_valid_global", valid))
@@ -405,23 +445,61 @@ class Trainer:
             if process_count() > 1:
                 # Each host sees the full global batch after allgather; trim
                 # with the GLOBAL valid count.
-                preds.append(_to_host(pred)[:valid_global])
-                labels.append(_to_host(dbatch["labels"])[:valid_global])
+                yield (_to_host(pred)[:valid_global],
+                       _to_host(dbatch["labels"])[:valid_global],
+                       float(loss), valid_global)
             else:
-                preds.append(np.asarray(pred)[:valid])
-                labels.append(np.asarray(batch["labels"])[:valid])
-            losses.append(float(loss))
-            counts.append(valid_global)
+                yield (np.asarray(pred)[:valid],
+                       np.asarray(batch["labels"])[:valid],
+                       float(loss), valid_global)
+
+    def _predict_arrays(self, dataset):
+        """Returns (predictions, labels, loss), loader padding excluded; the
+        per-batch losses are averaged weighted by their valid counts."""
+        preds, labels, losses, counts = [], [], [], []
+        for pred, lab, loss, valid in self._eval_batches(dataset):
+            preds.append(pred)
+            labels.append(lab)
+            losses.append(loss)
+            counts.append(valid)
         loss = float(np.average(np.asarray(losses), weights=np.asarray(counts)))
         return np.concatenate(preds), np.concatenate(labels), loss
 
-    def predict(self, dataset, metric_key_prefix: str = ""):
+    def _metric_battery(self, preds, labels) -> Dict[str, float]:
+        """compute_metrics, aware of ``output_all_steps`` 5-D predictions
+        (N, steps, C, H, W): the unprefixed battery is the FINAL step against
+        the labels (whose lead time it corresponds to); each intermediate step
+        additionally gets an ``ar_step_{i}/`` battery against those same
+        final-time labels (the reference's HF path returns {} here,
+        inference.py:76-77 — per-step GROUND-TRUTH comparison needs
+        trajectories and lives in mode_eval_accumulation_error)."""
+        if self.compute_metrics is None:
+            return {}
+        if preds.ndim == labels.ndim + 1:
+            out = dict(self.compute_metrics(preds[:, -1], labels))
+            for si in range(preds.shape[1]):
+                for k, v in self.compute_metrics(preds[:, si], labels).items():
+                    out[f"ar_step_{si}/{k}"] = v
+            return out
+        return dict(self.compute_metrics(preds, labels))
+
+    def predict(self, dataset, metric_key_prefix: str = "",
+                return_predictions: bool = True):
         """Full prediction pass (honors set_ar_steps). Returns an object with
-        predictions / label_ids / metrics, like HF's PredictionOutput."""
-        preds, labels, loss = self._predict_arrays(dataset)
-        metrics = {f"{metric_key_prefix}loss": loss}
-        if self.compute_metrics is not None:
-            for k, v in self.compute_metrics(preds, labels).items():
+        predictions / label_ids / metrics, like HF's PredictionOutput.
+
+        ``return_predictions=False`` streams the metric computation instead
+        (predictions/label_ids are None) — use for large eval sets."""
+        cm = self.compute_metrics
+        if (not return_predictions and cm is not None
+                and hasattr(cm, "per_sample") and not self.output_all_steps):
+            ev = self.evaluate(dataset)
+            metrics = {f"{metric_key_prefix}{k}": v for k, v in ev.items()}
+            preds = labels = None
+        else:
+            preds, labels, loss = self._predict_arrays(dataset)
+            metrics = {f"{metric_key_prefix}loss": loss}
+            for k, v in self._metric_battery(preds, labels).items():
                 metrics[f"{metric_key_prefix}{k}"] = v
 
         class PredictionOutput:

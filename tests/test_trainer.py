@@ -58,8 +58,12 @@ def make_trainer(tmp_path, **args_kw):
         num_workers=2)
     defaults.update(args_kw)
     args = TrainingArguments(**defaults)
-    metrics_fn = lambda p, l: compute_channel_group_metrics(
-        p, l, ds.channel_slice_list, ds.printable_channel_description)
+    # Streaming-capable battery, as train.py wires it (ChannelGroupMetrics is
+    # callable AND exposes per_sample/from_samples for chunked eval).
+    from poseidon_tpu.metrics import ChannelGroupMetrics
+
+    metrics_fn = ChannelGroupMetrics(
+        ds.channel_slice_list, ds.printable_channel_description)
     return Trainer(model, args, train_dataset=ds, eval_dataset=ds,
                    compute_metrics=metrics_fn)
 
