@@ -43,54 +43,16 @@ def make_compute_metrics(channel_slice_list, printable_channel_description,
                          full_data: bool = False):
     """Relative + absolute L1 stat battery (reference inference.py:76-200).
     ``full_data`` additionally attaches the per-sample error lists
-    (``relative_full_data`` / ``full_data`` keys, reference inference.py:140-144)."""
+    (``relative_full_data`` / ``full_data`` keys, reference inference.py:140-144).
 
-    def get_stats(errors, prefix):
-        return {
-            f"median_{prefix}l1_error": float(np.median(errors)),
-            f"mean_{prefix}l1_error": float(np.mean(errors)),
-            f"std_{prefix}l1_error": float(np.std(errors)),
-            f"min_{prefix}l1_error": float(np.min(errors)),
-            f"max_{prefix}l1_error": float(np.max(errors)),
-        }
+    Returns a :class:`~poseidon_tpu.metrics.ChannelGroupMetrics` — callable
+    like before, and additionally exposing the streaming
+    ``per_sample``/``from_samples`` protocol the Trainer uses to evaluate
+    large sets without materializing every prediction in host memory."""
+    from .metrics import ChannelGroupMetrics
 
-    def compute_metrics(preds, labels):
-        out = {}
-        groups = len(channel_slice_list) - 1
-        rels, abss, rel_stats, abs_stats = [], [], [], []
-        for i in range(groups):
-            lo, hi = channel_slice_list[i], channel_slice_list[i + 1]
-            rel = relative_lp_error(preds[:, lo:hi], labels[:, lo:hi], p=1)
-            ab = lp_error(preds[:, lo:hi], labels[:, lo:hi], p=1)
-            rels.append(rel)
-            abss.append(ab)
-            rel_stats.append(get_stats(rel, "relative_"))
-            abs_stats.append(get_stats(ab, ""))
-        if groups == 1:
-            out.update(rel_stats[0])
-            out.update(abs_stats[0])
-            if full_data:
-                out["relative_full_data"] = rels[0].tolist()
-                out["full_data"] = abss[0].tolist()
-        else:
-            out["mean_relative_l1_error"] = float(
-                np.mean([s["mean_relative_l1_error"] for s in rel_stats]))
-            out["mean_over_median_relative_l1_error"] = float(
-                np.mean([s["median_relative_l1_error"] for s in rel_stats]))
-            out["mean_l1_error"] = float(
-                np.mean([s["mean_l1_error"] for s in abs_stats]))
-            out["mean_over_median_l1_error"] = float(
-                np.mean([s["median_l1_error"] for s in abs_stats]))
-            for i, (name, rs, as_) in enumerate(
-                    zip(printable_channel_description, rel_stats, abs_stats)):
-                for k, v in {**rs, **as_}.items():
-                    out[f"{name}/{k}"] = v
-                if full_data:
-                    out[f"{name}/relative_full_data"] = rels[i].tolist()
-                    out[f"{name}/full_data"] = abss[i].tolist()
-        return out
-
-    return compute_metrics
+    return ChannelGroupMetrics(channel_slice_list, printable_channel_description,
+                               absolute=True, full_data=full_data)
 
 
 def load_model(model_path: str, dtype=None):
@@ -221,7 +183,8 @@ def mode_eval(params):
                           full_data=getattr(params, "full_data", False))
     if params.ar_steps is not None:
         trainer.set_ar_steps(params.ar_steps)
-    out = trainer.predict(ds)
+    # Streamed: metrics only, predictions never gathered to host memory.
+    out = trainer.predict(ds, return_predictions=False)
     row = {"model": params.model_path, "dataset": params.dataset,
            "initial_time": params.initial_time, "final_time": params.final_time,
            "ar_steps": params.ar_steps, **out.metrics}
@@ -273,7 +236,7 @@ def mode_eval_resolutions(params):
         trainer = get_trainer(params.model_path, params.batch_size, ds)
         if params.ar_steps is not None:
             trainer.set_ar_steps(params.ar_steps)
-        out = trainer.predict(ds)
+        out = trainer.predict(ds, return_predictions=False)
         row = {"model": params.model_path, "dataset": params.dataset,
                "resolution": res, **out.metrics}
         results.append(row)
@@ -281,7 +244,25 @@ def mode_eval_resolutions(params):
     print(json.dumps(results, default=float))
 
 
+class _LocalRun:
+    """Offline stand-in for a wandb.Api run: a run name found on disk."""
+
+    def __init__(self, name, dataset):
+        self.name = name
+        self.config = {"dataset": dataset} if dataset else {}
+
+
 def _sweep_runs(params):
+    """Runs of a sweep: from the W&B API (reference inference.py:643-655), or
+    — offline — from ``--run_names`` / the checkpoint directory listing."""
+    if getattr(params, "run_names", None):
+        return [_LocalRun(n, params.dataset) for n in params.run_names]
+    if params.wandb_entity is None:
+        # No API access: every run directory under the sweep checkpoint dir.
+        sweep_dir = os.path.join(params.base_checkpoint_dir,
+                                 params.wandb_project, params.sweep_id)
+        names = sorted(os.listdir(sweep_dir)) if os.path.isdir(sweep_dir) else []
+        return [_LocalRun(n, params.dataset) for n in names]
     import wandb
 
     api = wandb.Api()
@@ -298,6 +279,18 @@ def _sweep_runs(params):
     return runs
 
 
+def _resolve_model_path(ckpt_dir: str) -> Optional[str]:
+    """The loadable model dir inside a run's checkpoint dir: the dir itself
+    for this framework's native saves (``model/`` + config.json), else the
+    first checkpoint subdir (reference inference.py:676-693)."""
+    if os.path.isdir(os.path.join(ckpt_dir, "model")):
+        return ckpt_dir
+    dirs = sorted(d for d in os.listdir(ckpt_dir)
+                  if os.path.isdir(os.path.join(ckpt_dir, d))
+                  and d not in ("profile",))
+    return os.path.join(ckpt_dir, dirs[0]) if dirs else None
+
+
 def _sweep_iterate(params, fn):
     runs = _sweep_runs(params)
     for run in runs:
@@ -306,11 +299,13 @@ def _sweep_iterate(params, fn):
         if not os.path.isdir(ckpt_dir):
             print(f"skip {run.name}: no checkpoint at {ckpt_dir}")
             continue
-        dirs = [d for d in os.listdir(ckpt_dir)] or [""]
-        model_path = os.path.join(ckpt_dir, dirs[0]) if dirs[0] else ckpt_dir
+        model_path = _resolve_model_path(ckpt_dir)
+        if model_path is None:
+            print(f"skip {run.name}: nothing loadable in {ckpt_dir}")
+            continue
         sub = argparse.Namespace(**vars(params))
         sub.model_path = model_path
-        sub.dataset = run.config.get("dataset", params.dataset)
+        sub.dataset = run.config.get("dataset") or params.dataset
         fn(sub)
 
 
@@ -344,6 +339,9 @@ def main(argv=None):
     parser.add_argument("--only_dataset", type=str, nargs="+", default=[])
     parser.add_argument("--allow_failed", action="store_true")
     parser.add_argument("--filter_trajectories", type=int, nargs="+", default=[])
+    parser.add_argument("--run_names", type=str, nargs="+", default=[],
+                        help="Evaluate these sweep run names directly "
+                             "(offline mode: skips the W&B API)")
     params = parser.parse_args(argv)
 
     if params.mode == "save_samples":

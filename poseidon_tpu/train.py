@@ -30,7 +30,7 @@ import numpy as np
 from .config import MODEL_MAP, ScOTConfig
 from .data.base import BaseTimeDataset, ConcatDataset, TimeWrapper
 from .data.registry import get_dataset
-from .metrics import compute_channel_group_metrics
+from .metrics import ChannelGroupMetrics
 from .models.scot import ScOT
 from .parallel.host import broadcast_object, is_primary
 from .training import Trainer, TrainingArguments
@@ -133,6 +133,36 @@ def is_time_involved(dataset) -> bool:
         and isinstance(dataset.datasets[0], BaseTimeDataset))
 
 
+def wandb_setup(params, config: dict):
+    """Rank-0 W&B init with config mirroring (reference train.py:128-150).
+
+    Returns ``(run, sweep_id, run_name)``. Degrades gracefully when W&B is
+    unavailable/offline: the ``WANDB_SWEEP_ID`` environment variable (which a
+    ``wandb agent`` exports to its workers) stands in for ``run.sweep_id`` so
+    the sweep-aware checkpoint layout still works, and the run name falls back
+    to ``--wandb_run_name`` or a timestamp."""
+    import time as _time
+
+    run = None
+    sweep_id = os.environ.get("WANDB_SWEEP_ID") or None
+    if is_primary() and (params.wandb_run_name is not None or sweep_id):
+        try:
+            import wandb
+
+            run = wandb.init(project=params.wandb_project_name,
+                             name=params.wandb_run_name, config=config)
+        except Exception as e:  # offline container / no credentials
+            print(f"wandb.init failed ({e}); continuing with jsonl logging")
+    if run is not None:
+        if getattr(run, "sweep_id", None):
+            sweep_id = run.sweep_id
+        run_name = run.name or params.wandb_run_name
+    else:
+        run_name = params.wandb_run_name
+    run_name = run_name or _time.strftime("run-%Y%m%d-%H%M%S")
+    return run, sweep_id, run_name
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train (or finetune) scOT on TPU.")
     parser = read_cli(parser)
@@ -145,15 +175,22 @@ def main(argv=None):
 
     np.random.seed(SEED)
     config = load_config(params)
-    if "model_name" in config:
+    run, sweep_id, run_name = wandb_setup(params, config)
+    if "model_name" in config and config["model_name"] in MODEL_MAP:
+        # MODEL_MAP merge + W&B config mirror (reference train.py:171-177).
         config = {**config, **MODEL_MAP[config["model_name"]]}
+        if run is not None:
+            run.config.update(MODEL_MAP[config["model_name"]],
+                              allow_val_change=True)
 
-    # checkpoint dir convention <ckpt>/<project>/<run> (train.py:152-169)
-    import time as _time
-
-    run_name = params.wandb_run_name or _time.strftime("run-%Y%m%d-%H%M%S")
-    ckpt_dir = os.path.join(params.checkpoint_path, params.wandb_project_name, run_name)
-    ckpt_dir = broadcast_object(ckpt_dir)
+    # Checkpoint dir convention <ckpt>/<project>/[<sweep_id>/]<run>
+    # (reference train.py:152-169) — the sweep segment is what
+    # inference.py's eval_sweep walks.
+    parts = [params.checkpoint_path, params.wandb_project_name]
+    if sweep_id:
+        parts.append(sweep_id)
+    parts.append(run_name)
+    ckpt_dir = broadcast_object(os.path.join(*parts))
     os.makedirs(ckpt_dir, exist_ok=True)
 
     train_ds, val_ds = setup_datasets(config, params)
@@ -188,7 +225,7 @@ def main(argv=None):
         max_grad_norm=config.get("max_grad_norm", 1.0),
         early_stopping_patience=config.get("early_stopping_patience"),
         seed=SEED,
-        report_to="wandb" if params.wandb_run_name else "jsonl",
+        report_to="wandb" if run is not None else "jsonl",
         run_name=run_name,
         resume_from_checkpoint=params.resume_training,
     )
@@ -217,8 +254,9 @@ def main(argv=None):
     channel_slices = list(train_ds.channel_slice_list)
     channel_names = list(train_ds.printable_channel_description)
 
-    def metrics_fn(preds, labels):
-        return compute_channel_group_metrics(preds, labels, channel_slices, channel_names)
+    # Streaming-capable battery: the Trainer evaluates without materializing
+    # every prediction on the host (see ChannelGroupMetrics.per_sample).
+    metrics_fn = ChannelGroupMetrics(channel_slices, channel_names)
 
     trainer = Trainer(model, args, train_dataset=train_ds, eval_dataset=val_ds,
                       compute_metrics=metrics_fn, variables=variables)
