@@ -104,9 +104,11 @@ def main():
     step_time = float(np.median(windows))
     samples_per_sec = batch / step_time
 
-    # v5e peak: 197 TFLOP/s bf16 per chip.
-    peak = 197e12
+    # Peak bf16 throughput derived from the device generation (v5e: 197e12).
+    from poseidon_tpu.utils.device import tpu_spec
+
     dev = jax.devices()[0]
+    peak = tpu_spec(dev).peak_bf16_flops
     kind = getattr(dev, "device_kind", "unknown")
     mfu = (flops_per_step / step_time) / peak if np.isfinite(flops_per_step) else float("nan")
     vs_baseline = mfu / 0.45 if np.isfinite(mfu) else 0.0

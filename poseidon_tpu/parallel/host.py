@@ -36,12 +36,27 @@ def sync_hosts(name: str = "sync") -> None:
 
 
 def broadcast_object(obj: Any) -> Any:
-    """Broadcast a picklable object from process 0 to all processes."""
+    """Broadcast a picklable object from process 0 to all processes.
+
+    Serialized via pickle into a uint8 buffer: ``broadcast_one_to_all`` only
+    handles numeric array trees (a raw Python string dies inside device_put
+    with an 'Unknown NumPy dtype U' error), and the main use-site broadcasts
+    the checkpoint-dir STRING (train.py; reference uses accelerate's
+    ``broadcast_object_list`` at /root/reference/scOT/train.py:168)."""
     if jax.process_count() <= 1:
         return obj
+    import pickle
+
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(obj)
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    # Two rounds: sizes are host-local Python ints, so agree on the length
+    # first (non-primary processes contribute zeros of the right size).
+    n = int(multihost_utils.broadcast_one_to_all(np.int64(payload.size)))
+    buf = payload if is_primary() else np.zeros((n,), np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(out.tobytes())
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):

@@ -74,6 +74,47 @@ def params_shardings(params, mesh: Mesh, min_size: int = 2**16):
     )
 
 
+def _spec_axes(spec) -> set:
+    axes = set()
+    for el in (spec or ()):
+        if el is None:
+            continue
+        for a in (el if isinstance(el, tuple) else (el,)):
+            axes.add(a)
+    return axes
+
+
+def assert_opt_state_sharded(opt_state, mesh: Mesh, min_size: int = 2**16) -> int:
+    """FSDP sanity check: optimizer-state tensors (Adam moments) mirroring
+    shardABLE parameters must actually land sharded over ``model`` —
+    replicated moments would silently double HBM per chip at B/L scale.
+    Relies on jit's sharding propagation from ``tx.init``'s param inputs;
+    this asserts the propagation happened. Returns the number of sharded
+    leaves checked; no-op (0) on a 1-wide model axis."""
+    if mesh.shape.get("model", 1) <= 1:
+        return 0
+    import jax
+
+    bad, checked = [], 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
+        shape = getattr(leaf, "shape", None)
+        sharding = getattr(leaf, "sharding", None)
+        if shape is None or sharding is None:
+            continue
+        want = param_partition_spec(shape, mesh, min_size)
+        if not _spec_axes(want):
+            continue  # too small / no divisible axis: replication is fine
+        checked += 1
+        if "model" not in _spec_axes(getattr(sharding, "spec", None)):
+            bad.append((jax.tree_util.keystr(path), tuple(shape)))
+    if bad:
+        raise AssertionError(
+            f"{len(bad)} optimizer-state tensors are NOT sharded over the "
+            f"'model' mesh axis (replicated Adam moments double HBM): "
+            f"{bad[:5]}{'...' if len(bad) > 5 else ''}")
+    return checked
+
+
 def shard_batch(batch, mesh: Mesh):
     """device_put a host batch with the batch dim sharded over 'data'."""
     sh = batch_sharding(mesh)
@@ -95,9 +136,39 @@ _ATTENTION_MESH: Optional[Mesh] = None
 
 
 def set_attention_mesh(mesh: Optional[Mesh]) -> None:
-    """Declare the mesh the attention kernels should shard over (None = off)."""
+    """Declare the mesh the attention kernels should shard over (None = off).
+
+    The value is read at TRACE time. The Trainer re-asserts its own mesh at
+    the start of every loop entry point (train/_eval_batches), so multiple
+    Trainers with different meshes can coexist; standalone users tracing
+    ``fused_window_attention`` directly should prefer the scoped
+    :func:`attention_mesh_scope`."""
     global _ATTENTION_MESH
     _ATTENTION_MESH = mesh
+
+
+class attention_mesh_scope:
+    """Context manager scoping the attention-kernel mesh around a trace:
+
+        with attention_mesh_scope(mesh):
+            out = jax.jit(fn)(x)   # first call traces inside the scope
+
+    Restores the previous value on exit, so nested Trainers/scopes cannot
+    leak a stale mesh into later traces."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ATTENTION_MESH
+        self.prev = _ATTENTION_MESH
+        _ATTENTION_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ATTENTION_MESH
+        _ATTENTION_MESH = self.prev
+        return False
 
 
 def attention_mesh() -> Optional[Mesh]:
