@@ -54,12 +54,21 @@ class TestGraftEntry:
     def test_dryrun_multichip_8(self):
         import __graft_entry__ as ge
 
-        ge.dryrun_multichip(8)
+        ge.dryrun_multichip(8, full_geometry=False)
 
     def test_dryrun_multichip_2(self):
         import __graft_entry__ as ge
 
-        ge.dryrun_multichip(2)
+        ge.dryrun_multichip(2, full_geometry=False)
+
+    @pytest.mark.slow
+    def test_dryrun_multichip_8_flagship(self):
+        """The driver-default path: one optimizer step of REAL ScOT-B
+        (image 128 / window 16 / depths (8,8,8,8)) on the 8-device mesh.
+        ~8 min on one CPU core; the driver runs this every round."""
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
 
 
 class TestPallasUnderMesh:
