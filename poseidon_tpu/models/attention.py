@@ -168,7 +168,6 @@ class WindowAttention(nn.Module):
         wv = _ProjParams(self.dim, self.dim, self.qkv_bias,
                          self.initializer_range, name="value")()
         w_qkv = jnp.concatenate([wq[0], wk[0], wv[0]], axis=1).astype(self.dtype)
-        qkv = jnp.dot(x.astype(self.dtype), w_qkv)
 
         logit_scale = self.param(
             "logit_scale",
@@ -189,11 +188,12 @@ class WindowAttention(nn.Module):
                 # The HF reference adds the shift mask twice
                 # (modeling_swinv2.py:513-520); bake the 2x in.
                 m = 2.0 * jnp.asarray(mask, jnp.float32)
-            # ONE relayout of the fused QKV output to the kernel's D-major
-            # world ((N, 3C, T) with tokens on lanes) instead of three
-            # separate q/k/v relayouts; the channel split and the head
-            # reshape are then free views.
-            qkv_T = qkv.transpose(0, 2, 1)  # (bnw, 3C, T)
+            # The QKV GEMM EMITS the kernel's D-major world directly:
+            # (N, T, C) @ (C, 3C) -> (N, 3C, T) via einsum, letting XLA fold
+            # the output orientation into the matmul's layout assignment
+            # instead of paying a separate full-tensor relayout copy (the
+            # round-2 profile attributed ~16 ms/step to these relayouts).
+            qkv_T = jnp.einsum("ntc,cm->nmt", x.astype(self.dtype), w_qkv)
             qT, kT, vT = jnp.split(qkv_T, 3, axis=1)
             if self.qkv_bias:
                 qT = qT + wq[1].astype(qT.dtype)[None, :, None]
@@ -202,13 +202,18 @@ class WindowAttention(nn.Module):
                 qT.reshape(bnw, heads, hd, t), kT.reshape(bnw, heads, hd, t),
                 vT.reshape(bnw, heads, hd, t), bias, m, scale,
                 layout="nhdt")
-            # (bnw, H, D, T) -> (bnw, T, C): the single output relayout.
-            out = out.reshape(bnw, c, t).transpose(0, 2, 1)
-            out = dense(self.dim, name="proj")(out)
+            # Project straight out of the D-major world: (N, C, T) @ (C, C)
+            # contracting the sublane axis -> (N, T, C) token-major for the
+            # residual stream; again no explicit relayout copy.
+            wp = _ProjParams(self.dim, self.dim, True,
+                             self.initializer_range, name="proj")()
+            out = jnp.einsum("nct,co->nto", out.reshape(bnw, c, t),
+                             wp[0].astype(self.dtype)) + wp[1].astype(self.dtype)
             if self.proj_drop > 0.0 and not deterministic:
                 out = nn.Dropout(self.proj_drop)(out, deterministic=False)
             return out
 
+        qkv = jnp.dot(x.astype(self.dtype), w_qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.qkv_bias:
             q = q + wq[1].astype(q.dtype)

@@ -69,8 +69,11 @@ def _pick_group(base: int, t: int) -> int:
     (pre-tiled bm + in-kernel reshape-sum accumulation) reliably crash the
     Mosaic compiler on real TPUs — keep g <= base. Sized so the backward
     pass's VMEM-resident intermediates (~24 bytes/score element) plus the
-    accumulated dbm block fit comfortably."""
-    budget = 11e6 - base * t * t * 4
+    accumulated dbm block fit comfortably inside the device's VMEM (derived
+    per TPU generation; ~11 MB usable on 16 MiB-VMEM cores)."""
+    from ..utils.device import vmem_budget_bytes
+
+    budget = vmem_budget_bytes() - base * t * t * 4
 
     def fits(g):
         return g * t * t * 24 <= budget
@@ -309,13 +312,16 @@ def _sharded_core(pairs: int, base: int):
     n_data = mesh.shape["data"]
     if pairs % (n_data * base) != 0:
         return _attention_core
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    return shard_map(
-        _attention_core, mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P(), P()),
-        out_specs=P("data"), check_rep=False)
+    specs = dict(in_specs=(P("data"), P("data"), P("data"), P(), P()),
+                 out_specs=P("data"))
+    try:  # jax >= 0.9 stable API (check_rep renamed to check_vma)
+        return jax.shard_map(_attention_core, mesh=mesh, check_vma=False, **specs)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(_attention_core, mesh=mesh, check_rep=False, **specs)
 
 
 def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
