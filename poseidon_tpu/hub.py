@@ -135,8 +135,13 @@ def _block_entries(torch_prefix: str, cfg: ScOTConfig, getw) -> dict:
 
 def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
                              cfg: ScOTConfig) -> dict:
-    """Convert a reference PyTorch state dict to this package's params tree."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    """Convert a reference PyTorch state dict to this package's params tree.
+
+    Always COPIES: ``torch.Tensor.numpy()`` shares memory with the live
+    tensor, so pass-through leaves (biases, norm scales) would otherwise
+    alias the torch model's parameters — an in-place ``optimizer.step()``
+    on the torch side would silently mutate the converted jax tree."""
+    sd = {k: np.array(v) for k, v in state_dict.items()}
     consumed = set()
 
     def getw(key: str, f=None):
