@@ -195,13 +195,35 @@ class BlockPair(nn.Module):
         return x, None
 
 
+def _remat_block(cls, remat, **remat_kw):
+    """Wrap a block class per the ``remat`` mode: ``True`` recomputes the
+    block in the backward (classic gradient checkpointing); ``"save_all"``
+    keeps jax.checkpoint's structured backward but SAVES every residual
+    (``everything_saveable`` policy) — no recompute, same FLOPs as no remat,
+    but the backward is emitted per-block instead of as one flat transpose
+    (works around TPU compiler blowups on scan + unstructured backward +
+    optimizer in a single jit)."""
+    if remat == "save_all":
+        return nn.remat(
+            cls, policy=jax.checkpoint_policies.everything_saveable, **remat_kw)
+    if remat == "save_dots":
+        # Stash matmul outputs (the expensive-to-recompute tensors), replay
+        # the cheap elementwise/norm ops in the backward. Under scan_blocks
+        # this shrinks the per-iteration residual stack enough to avoid the
+        # HBM blowup that a full stash hits at large batch, at a fraction of
+        # full remat's recompute cost.
+        return nn.remat(
+            cls, policy=jax.checkpoint_policies.dots_saveable, **remat_kw)
+    if remat:
+        return nn.remat(cls, **remat_kw)
+    return cls
+
+
 def _scan_stage(parent_cfg: ScOTConfig, *, dim: int, num_heads: int,
                 resolution: int, shifted_first: bool, deterministic: bool,
-                dtype, remat: bool, name: str):
+                dtype, remat, name: str):
     """Build the nn.scan-wrapped BlockPair for one stage."""
-    body = BlockPair
-    if remat:
-        body = nn.remat(BlockPair, prevent_cse=False)
+    body = _remat_block(BlockPair, remat, prevent_cse=False)
     scanned = nn.scan(
         body,
         variable_axes={"params": 0},
@@ -237,7 +259,7 @@ class Encoder(nn.Module):
     def __call__(self, x: jax.Array, time: Optional[jax.Array],
                  deterministic: bool = True) -> List[jax.Array]:
         cfg = self.config
-        block_cls = nn.remat(SwinBlock, static_argnums=(3,)) if self.remat else SwinBlock
+        block_cls = _remat_block(SwinBlock, self.remat, static_argnums=(3,))
         dpr, _ = _drop_path_rates(cfg)
         skips: List[jax.Array] = []
         for i in range(cfg.num_stages):
@@ -293,7 +315,7 @@ class Decoder(nn.Module):
     def __call__(self, x: jax.Array, skips: List[jax.Array],
                  time: Optional[jax.Array], deterministic: bool = True) -> jax.Array:
         cfg = self.config
-        block_cls = nn.remat(SwinBlock, static_argnums=(3,)) if self.remat else SwinBlock
+        block_cls = _remat_block(SwinBlock, self.remat, static_argnums=(3,))
         _, dpr = _drop_path_rates(cfg)
         n = cfg.num_stages
         for k in range(n):  # execution order; i_layer = n-1-k is the level
@@ -454,23 +476,42 @@ def forward_with_intermediates(model, variables, pixel_values, time=None,
     Returns ``(prediction, hidden_states, attentions)`` where
     ``hidden_states`` are the per-stage token maps (encoder pre-downsample
     skips, then decoder stage outputs, deepest first) and ``attentions`` the
-    per-layer softmax probabilities (N*nW, heads, T, T), in execution order.
-    Only available on the XLA attention path (``attention_impl="xla"``, the
-    default); the fused Pallas kernel never materializes probabilities.
+    per-layer softmax probabilities (N*nW, heads, T, T), in execution order
+    (decoder stages run deepest-first, so decoder attention leaves are
+    ordered by DESCENDING stage index). Only available with
+    ``attention_impl="xla"`` (the fused Pallas kernel never materializes
+    probabilities) and ``scan_blocks=False`` (nn.scan drops sown
+    intermediates inside the scanned block pairs) — raises otherwise.
     """
+    if model.config.scan_blocks:
+        raise ValueError(
+            "forward_with_intermediates requires scan_blocks=False: nn.scan "
+            "drops the attention probabilities sown inside scanned block "
+            "pairs (the returned list would be silently empty). Rebuild the "
+            "model with config.replace(scan_blocks=False); the param tree "
+            "can be bridged via poseidon_tpu.hub.")
+    import re
+
     pred, inter = model.apply(variables, pixel_values, time,
                               mutable=["intermediates"], **apply_kwargs)
     flat = jax.tree_util.tree_flatten_with_path(inter["intermediates"])[0]
+
+    def _sort_key(keys):
+        # encoder stages first (ascending), then decoder in EXECUTION order:
+        # deepest stage first (Decoder runs stage N-1 .. 0), blocks ascending.
+        section = 0 if keys[0] == "encoder" else 1
+        path = "/".join(keys)
+        m = re.search(r"stage_(\d+)", path)
+        stage = int(m.group(1)) if m else -1
+        stage_order = stage if section == 0 else -stage
+        return (section, stage_order, path)
 
     def _collect(leaf_name):
         out = []
         for path, value in flat:
             keys = [str(getattr(k, "key", k)) for k in path]
             if leaf_name in keys:
-                # encoder stages first, then decoder (execution order);
-                # within a section, module paths sort naturally.
-                section = 0 if keys[0] == "encoder" else 1
-                out.append(((section, "/".join(keys)), value))
+                out.append((_sort_key(keys), value))
         return [v for _, v in sorted(out, key=lambda kv: kv[0])]
 
     return pred, _collect("hidden_states"), _collect("attention_probs")
