@@ -179,7 +179,7 @@ class WindowAttention(nn.Module):
         use_pallas = (self.impl == "pallas"
                       and not (self.attn_drop > 0.0 and not deterministic))
         if use_pallas:
-            from ..ops.window_attention import fused_window_attention
+            from ..ops.window_attention import _pick_pack, fused_window_attention
 
             scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))[:, 0, 0]
             if mask is None:
@@ -188,27 +188,70 @@ class WindowAttention(nn.Module):
                 # The HF reference adds the shift mask twice
                 # (modeling_swinv2.py:513-520); bake the 2x in.
                 m = 2.0 * jnp.asarray(mask, jnp.float32)
+            wp = _ProjParams(self.dim, self.dim, True,
+                             self.initializer_range, name="proj")()
+            proj_bias = wp[1]
+            if self.qkv_bias:
+                # Softmax rows sum to 1, so the v-bias passes through the
+                # attention unchanged: P @ (v + b 1^T) == P @ v + b. Push it
+                # through the output projection at trace time (a (C,)@(C,C)
+                # GEMV on params) instead of paying a full (N, C, T)
+                # elementwise pass per layer (~2 ms/step in the r3 profile).
+                proj_bias = proj_bias + wv[1] @ wp[0]
+
             # The QKV GEMM EMITS the kernel's D-major world directly:
             # (N, T, C) @ (C, 3C) -> (N, 3C, T) via einsum, letting XLA fold
             # the output orientation into the matmul's layout assignment
             # instead of paying a separate full-tensor relayout copy (the
             # round-2 profile attributed ~16 ms/step to these relayouts).
-            qkv_T = jnp.einsum("ntc,cm->nmt", x.astype(self.dtype), w_qkv)
-            qT, kT, vT = jnp.split(qkv_T, 3, axis=1)
-            if self.qkv_bias:
-                qT = qT + wq[1].astype(qT.dtype)[None, :, None]
-                vT = vT + wv[1].astype(vT.dtype)[None, :, None]
-            out = fused_window_attention(
-                qT.reshape(bnw, heads, hd, t), kT.reshape(bnw, heads, hd, t),
-                vT.reshape(bnw, heads, hd, t), bias, m, scale,
-                layout="nhdt")
+            p = _pick_pack(m.shape[0], heads, t)
+            if p > 1:
+                # Small-T stages (2-3) run block-diagonally head-packed in the
+                # kernel. Permute the QKV weight COLUMNS so the GEMM emits the
+                # packed layout directly — C order (head, d) -> (head_group,
+                # d, head_in_group) — and the packed tiles fall out of pure
+                # reshapes: zero runtime transposes (the explicit pack/unpack
+                # cost ~7 ms/step in the r3 profile). The permute rides the
+                # concat+cast pass XLA already does on the small weights.
+                hp = heads // p
+
+                def perm_cols(w):
+                    return (w.reshape(-1, hp, p, hd).transpose(0, 1, 3, 2)
+                            .reshape(-1, heads * hd))
+
+                w_qkv_p = jnp.concatenate(
+                    [perm_cols(wq[0]), perm_cols(wk[0]), perm_cols(wv[0])],
+                    axis=1).astype(self.dtype)
+                qkv_T = jnp.einsum("ntc,cm->nmt", x.astype(self.dtype), w_qkv_p)
+                qT, kT, vT = jnp.split(qkv_T, 3, axis=1)
+                if self.qkv_bias:
+                    qb = wq[1].reshape(hp, p, hd).transpose(0, 2, 1).reshape(-1)
+                    qT = qT + qb.astype(qT.dtype)[None, :, None]
+                shape_p = (bnw, hp, hd, p * t)
+                out = fused_window_attention(
+                    qT.reshape(shape_p), kT.reshape(shape_p),
+                    vT.reshape(shape_p), bias, m, scale, layout="nhdt_packed")
+                # Packed C order is (head_group, d, head_in_group); contract
+                # it against the correspondingly row-permuted proj kernel.
+                out = out.reshape(bnw, c, t)
+                wp_k = (wp[0].reshape(hp, p, hd, c).transpose(0, 2, 1, 3)
+                        .reshape(c, c))
+            else:
+                qkv_T = jnp.einsum("ntc,cm->nmt", x.astype(self.dtype), w_qkv)
+                qT, kT, vT = jnp.split(qkv_T, 3, axis=1)
+                if self.qkv_bias:
+                    qT = qT + wq[1].astype(qT.dtype)[None, :, None]
+                out = fused_window_attention(
+                    qT.reshape(bnw, heads, hd, t), kT.reshape(bnw, heads, hd, t),
+                    vT.reshape(bnw, heads, hd, t), bias, m, scale,
+                    layout="nhdt")
+                out = out.reshape(bnw, c, t)
+                wp_k = wp[0]
             # Project straight out of the D-major world: (N, C, T) @ (C, C)
             # contracting the sublane axis -> (N, T, C) token-major for the
             # residual stream; again no explicit relayout copy.
-            wp = _ProjParams(self.dim, self.dim, True,
-                             self.initializer_range, name="proj")()
-            out = jnp.einsum("nct,co->nto", out.reshape(bnw, c, t),
-                             wp[0].astype(self.dtype)) + wp[1].astype(self.dtype)
+            out = jnp.einsum("nct,co->nto", out, wp_k.astype(self.dtype)) \
+                + proj_bias.astype(self.dtype)
             if self.proj_drop > 0.0 and not deterministic:
                 out = nn.Dropout(self.proj_drop)(out, deterministic=False)
             return out

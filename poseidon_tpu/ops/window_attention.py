@@ -294,6 +294,17 @@ def _pack_filler(hp: int, p: int, t: int) -> np.ndarray:
     return np.broadcast_to((1.0 - eye) * _NEG, (hp, p * t, p * t)).copy()
 
 
+def _packed_bm(bm0, hp: int, p: int, t: int):
+    """Block-diagonal packed bias: per-head (T, T) blocks of ``bm0`` (H, T, T)
+    on the diagonal of an (H', P*T, P*T) tile, -1e9 elsewhere."""
+    filler = jnp.asarray(_pack_filler(hp, p, t))
+    blocks = bm0.reshape(hp, p, t, t)
+    bmp = filler
+    for j in range(p):
+        bmp = jax.lax.dynamic_update_slice(bmp, blocks[:, j], (0, j * t, j * t))
+    return bmp
+
+
 def _sharded_core(pairs: int, base: int):
     """The attention core, shard_mapped over the data axis when a >1-device
     data mesh is active (see parallel.mesh.set_attention_mesh). The SPMD
@@ -333,7 +344,12 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
             D-major (N, H, D, T) (``"nhdt"`` — what the module produces with
             a single relayout of the fused QKV output; zero further
             transposes). N must be a multiple of the window count nW
-            (windows of one image contiguous).
+            (windows of one image contiguous). ``"nhdt_packed"``: q/k/v are
+            (N, H', D, P*T) with P heads pre-packed along the token axis in
+            (head-block, token) order — the caller emits this layout straight
+            from a column-permuted QKV GEMM (head axis split (H', P) with P
+            innermost-after-D), so packing costs ZERO transposes; requires
+            nW == 1 (unshifted) and P*T a lane multiple.
         bias: (H, T, T) fp32 position bias (already 16*sigmoid'd).
         mask: (nW, T, T) fp32 additive shift mask, already doubled by the
             caller (the HF reference adds it twice); zeros when unshifted.
@@ -341,6 +357,22 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
     Returns:
         Attention output in q's dtype, in the same layout as the inputs.
     """
+    if layout == "nhdt_packed":
+        n, hp, d, tp = q.shape
+        h = bias.shape[0]
+        p = h // hp
+        t = tp // p
+        assert mask.shape[0] == 1, "packed layout requires unshifted windows"
+        bm0 = bias + mask[0][None]  # (H, T, T)
+        bmp = _packed_bm(bm0, hp, p, t)
+        srow = jnp.repeat(scale.reshape(hp, p), t, axis=1)[:, None, :]  # (H',1,T')
+        core = _sharded_core(n * hp, hp)
+
+        def flatp(x):
+            return x.reshape(n * hp, d, tp)
+
+        out = core(flatp(q), flatp(k), flatp(v), bmp, srow)
+        return out.reshape(n, hp, d, tp)
     if layout == "nhdt":
         # Already D-major (the module relayouts the fused QKV output once
         # and splits it for free): no per-tensor transposes at all.
@@ -369,11 +401,7 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
             return x.transpose(0, 1, 3, 2, 4).reshape(n * hp, d, tp)
 
         # Block-diagonal bm: per-head blocks on the diagonal, -1e9 elsewhere.
-        filler = jnp.asarray(_pack_filler(hp, p, t))
-        blocks = bm[0].reshape(hp, p, t, t)
-        bmp = filler
-        for j in range(p):
-            bmp = jax.lax.dynamic_update_slice(bmp, blocks[:, j], (0, j * t, j * t))
+        bmp = _packed_bm(bm[0], hp, p, t)
         srow = jnp.repeat(scale.reshape(hp, p), t, axis=1)[:, None, :]  # (H',1,T')
         out = _sharded_core(n * hp, hp)(pack(q), pack(k), pack(v), bmp, srow)
         out = (out.reshape(n, hp, d, p, t).transpose(0, 1, 3, 2, 4)

@@ -92,6 +92,43 @@ class TestModelWithPallasAttention:
                                    atol=2e-5, rtol=1e-4)
 
 
+class TestModelPackedEmission:
+    """Geometry where the module's packed-emission branch triggers (t=16,
+    heads % 8 == 0 -> P=8): the column-permuted QKV GEMM + nhdt_packed kernel
+    + row-permuted proj must match the XLA path, values and gradients."""
+
+    def test_packed_model_matches_xla(self):
+        from poseidon_tpu import ScOT, make_config
+
+        kw = dict(image_size=32, patch_size=4, num_channels=3, num_out_channels=2,
+                  embed_dim=64, depths=(2, 2), num_heads=(8, 8),
+                  skip_connections=(1, 0), window_size=4, mlp_ratio=2.0,
+                  channel_slice_list=(0, 1, 2), use_conditioning=True)
+        cfg_x = make_config("T", **kw)
+        cfg_p = cfg_x.replace(attention_impl="pallas")
+        m_x = ScOT(config=cfg_x)
+        m_p = ScOT(config=cfg_p)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3, 32, 32)), jnp.float32)
+        t = jnp.asarray([0.3, 0.9])
+        variables = m_x.init(jax.random.PRNGKey(0), x, t)
+        y_x = m_x.apply(variables, x, t)
+        y_p = m_p.apply(variables, x, t)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                   atol=2e-5, rtol=1e-4)
+
+        def loss(m, v):
+            return jnp.sum(m.apply(v, x, t) ** 2)
+
+        g_x = jax.grad(lambda v: loss(m_x, v))(variables)
+        g_p = jax.grad(lambda v: loss(m_p, v))(variables)
+        flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+        flat_p = jax.tree_util.tree_leaves(g_p)
+        for (path, a), b in zip(flat_x, flat_p):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+                err_msg=jax.tree_util.keystr(path))
+
+
 class TestPackedPath:
     """Block-diagonal head packing (T < 128, nW == 1) — values AND gradients
     must match the unpacked reference."""
