@@ -157,13 +157,26 @@ class SwinBlock(nn.Module):
         hs = make_norm(cfg.use_conditioning, c, name="norm_attn", **norm_kw)(hs, time)
         x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
 
-        mlp = nn.Dense(int(cfg.mlp_ratio * c), name="mlp_fc1", dtype=self.dtype,
-                       kernel_init=normal_init(cfg.initializer_range),
-                       bias_init=nn.initializers.zeros)(x)
-        mlp = gelu_exact(mlp)
-        mlp = nn.Dense(c, name="mlp_fc2", dtype=self.dtype,
-                       kernel_init=normal_init(cfg.initializer_range),
-                       bias_init=nn.initializers.zeros)(mlp)
+        # The block MLP (HF Swinv2Intermediate/Output, modeling_swinv2.py:
+        # 603-634). Params are held Dense-layout via _ProjParams so the XLA
+        # and fused-Pallas paths share one checkpoint tree; the pallas path
+        # keeps the (M, 4C) hidden state VMEM-resident (ops/mlp.py).
+        from .attention import _ProjParams
+
+        f = int(cfg.mlp_ratio * c)
+        w1, b1 = _ProjParams(c, f, True, cfg.initializer_range,
+                             name="mlp_fc1")()
+        w2, b2 = _ProjParams(f, c, True, cfg.initializer_range,
+                             name="mlp_fc2")()
+        if cfg.attention_impl == "pallas":
+            from ..ops.mlp import fused_mlp
+
+            mlp = fused_mlp(x.astype(self.dtype), w1.astype(self.dtype),
+                            b1, w2.astype(self.dtype), b2)
+        else:
+            mlp = gelu_exact(x.astype(self.dtype) @ w1.astype(self.dtype)
+                             + b1.astype(self.dtype))
+            mlp = mlp @ w2.astype(self.dtype) + b2.astype(self.dtype)
         if cfg.hidden_dropout_prob > 0.0 and not deterministic:
             mlp = nn.Dropout(cfg.hidden_dropout_prob)(mlp, deterministic=False)
         mlp = make_norm(cfg.use_conditioning, c, name="norm_mlp", **norm_kw)(mlp, time)
