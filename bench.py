@@ -12,6 +12,7 @@ vs_baseline reports measured model FLOP utilization (MFU) relative to the
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -24,7 +25,7 @@ def main():
 
     from poseidon_tpu import ScOT, make_config, scot_loss
     from poseidon_tpu.models.scot import apply_pixel_mask
-    from poseidon_tpu.training.optimizer import build_optimizer
+    from poseidon_tpu.training.optimizer import build_flat_optimizer
     from poseidon_tpu.utils.init import enable_compilation_cache, shape_variables
 
     enable_compilation_cache()
@@ -36,7 +37,7 @@ def main():
     # Progression: 167 (initial) -> 317 (fused QKV) -> 404 (slice CPB) ->
     # 468 (folded scale) -> 568 (bf16 scores, b48) -> 633 samples/s
     # (D-major pallas attention, b96).
-    batch = 96
+    batch = int(os.environ.get("BENCH_BATCH", "96"))
     cfg = make_config("B", image_size=128, num_channels=4, num_out_channels=4,
                       channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
                       score_dtype="bfloat16", attention_impl="pallas")
@@ -52,7 +53,7 @@ def main():
     # tree from eval_shape (instant) instead of compiling the init graph.
     variables = shape_variables(model, x, t, fill="normal")
     params = variables["params"]
-    tx = build_optimizer(
+    tx = build_flat_optimizer(
         params, learning_rate=1e-4, total_steps=10_000, weight_decay=1e-6,
         lr_scheduler_type="cosine", warmup_ratio=0.0, max_grad_norm=5.0)
     opt_state = jax.jit(tx.init)(params)

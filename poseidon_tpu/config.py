@@ -65,6 +65,14 @@ class ScOTConfig:
     # the hub bridge handles both layouts. Stages with odd depth fall back
     # to the unrolled form.
     scan_blocks: bool = False
+    # Under attention_impl="pallas": fuse MLP + ConditionalLayerNorm +
+    # residual into one D-major kernel for lane-aligned stages (ops/mlp.py
+    # fused_mlp_cln). MEASURED NEGATIVE at ScOT-B b128 on v5e: 188.6 ms
+    # device span fused vs 184.7 unfused (r3 traces) — the kernel wins in
+    # isolation (852 vs 1215 us/block stage-0 fwd+bwd) but in-model XLA
+    # fuses the norm+residual into neighbors more cheaply than the kernel's
+    # recompute epilogue. Kept as an A/B knob; numerics agree either way.
+    fused_block_tail: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "depths", tuple(self.depths))

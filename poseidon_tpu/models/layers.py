@@ -88,6 +88,27 @@ class ConditionalLayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+class CLNParams(nn.Module):
+    """Parameter holder for a ConditionalLayerNorm whose math runs inside a
+    fused Pallas kernel (ops/mlp.py fused_mlp_cln). Creates the identical
+    ``cond_scale``/``cond_shift`` Dense fragments (kernel (1, C), bias (C,))
+    so the checkpoint tree and the optimizer's time-embedding param group
+    are unchanged whichever path executes."""
+
+    dim: int
+    initializer_range: float = 0.02
+
+    @nn.compact
+    def __call__(self):
+        from .attention import _ProjParams
+
+        ws = _ProjParams(1, self.dim, True, self.initializer_range,
+                         name="cond_scale")()
+        wb = _ProjParams(1, self.dim, True, self.initializer_range,
+                         name="cond_shift")()
+        return ws[0], ws[1], wb[0], wb[1]
+
+
 class PlainLayerNorm(nn.Module):
     """Standard LayerNorm with the uniform ``(x, time)`` call signature."""
 

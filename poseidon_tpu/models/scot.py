@@ -168,6 +168,41 @@ class SwinBlock(nn.Module):
                              name="mlp_fc1")()
         w2, b2 = _ProjParams(f, c, True, cfg.initializer_range,
                              name="mlp_fc2")()
+
+        # Fully-fused block tail (ops/mlp.py): MLP + ConditionalLayerNorm +
+        # residual in one D-major kernel, with the drop-path keep mask folded
+        # into the per-sample conditioning scale/shift (the epilogue is
+        # linear in them). Falls back to the composable path when the
+        # geometry/options don't qualify.
+        from ..ops.mlp import dm_eligible
+
+        fused_tail = (cfg.attention_impl == "pallas" and cfg.fused_block_tail
+                      and cfg.use_conditioning and time is not None
+                      and (cfg.hidden_dropout_prob == 0.0 or deterministic)
+                      and dm_eligible(x.shape, c, f,
+                                      jnp.dtype(self.dtype).itemsize))
+        if fused_tail:
+            from ..models.layers import CLNParams
+            from ..ops.mlp import fused_mlp_cln
+
+            ws, wsb, wb, wbb = CLNParams(c, cfg.initializer_range,
+                                         name="norm_mlp")()
+            tcol = time.reshape(-1, 1).astype(jnp.float32)
+            scale = tcol @ ws + wsb
+            shift = tcol @ wb + wbb
+            if not deterministic and cfg.drop_path_rate > 0.0:
+                rate = (drop_path_rate if drop_path_rate is not None
+                        else self.drop_path)
+                keep = 1.0 - rate
+                mask = jax.random.bernoulli(self.make_rng("dropout"),
+                                            keep, (b, 1))
+                factor = mask.astype(jnp.float32) / keep
+                scale = scale * factor
+                shift = shift * factor
+            return fused_mlp_cln(x.astype(self.dtype), w1.astype(self.dtype),
+                                 b1, w2.astype(self.dtype), b2, scale, shift,
+                                 eps=cfg.layer_norm_eps)
+
         if cfg.attention_impl == "pallas":
             from ..ops.mlp import fused_mlp
 

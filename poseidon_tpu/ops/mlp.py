@@ -136,6 +136,306 @@ def _bwd_kernel_emit(x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
 
 
 # ---------------------------------------------------------------------------
+# D-major kernels. The ScOT residual stream is laid out D-major around the
+# fused attention kernels ((B, L, C) with minor-to-major {1,2,0}); a token-
+# major custom call forces XLA to relayout the full stream around every
+# block (~4 ms/step of copies in the r3 trace, plus async-copy contention
+# that slowed the token-major backward 2.2x in-model). These variants take
+# (B, C, L) tiles — the module's swapaxes then elides into a layout bitcast.
+# Weights stay Dense-layout (C, F)/(F, C); contractions run over sublanes.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_dm(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[0]                                       # (C, Lt)
+    u = _dot(w1_ref[...], x, (0, 0)) + b1_ref[...]     # (F, Lt) f32
+    g = _gelu(u).astype(x.dtype)
+    o = _dot(w2_ref[...], g, (0, 0)) + b2_ref[...]     # (C, Lt) f32
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_dm(x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
+                   dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    i = pl.program_id(0)
+    x = x_ref[0]                                       # (C, Lt)
+    dy = dy_ref[0]                                     # (C, Lt)
+    u = _dot(w1_ref[...], x, (0, 0)) + b1_ref[...]     # (F, Lt) f32
+    dh = _dot(w2_ref[...], dy, (1, 0))                 # (F, Lt) f32
+    du = dh * _dgelu(u)
+    dub = du.astype(x.dtype)
+    dx_ref[0] = _dot(w1_ref[...], dub, (1, 0)).astype(dx_ref.dtype)
+    g = _gelu(u).astype(x.dtype)
+    _acc(dw1_ref, i, _dot(x, dub, (1, 1)))             # (C, F)
+    _acc(db1_ref, i, jnp.sum(du, axis=1, keepdims=True))
+    _acc(dw2_ref, i, _dot(g, dy, (1, 1)))              # (F, C)
+    _acc(db2_ref, i, jnp.sum(dy.astype(jnp.float32), axis=1, keepdims=True))
+
+
+def _call_fwd_dm(x, w1, b1, w2, b2):
+    n, c, l = x.shape
+    f = w1.shape[1]
+    tile = pl.BlockSpec((1, c, l), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fwd_kernel_dm,
+        grid=(n,),
+        in_specs=[tile, const((c, f)), const((f, 1)), const((f, c)),
+                  const((c, 1))],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((n, c, l), x.dtype),
+        interpret=_needs_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * l * c * f,
+            bytes_accessed=4 * n * l * c * x.dtype.itemsize,
+            transcendentals=n * l * f,
+        ),
+    )(x, w1, b1.reshape(f, 1), w2, b2.reshape(c, 1))
+
+
+def _call_bwd_dm(x, w1, b1, w2, b2, dy):
+    n, c, l = x.shape
+    f = w1.shape[1]
+    tile = pl.BlockSpec((1, c, l), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        _bwd_kernel_dm,
+        grid=(n,),
+        in_specs=[tile, const((c, f)), const((f, 1)), const((f, c)), tile],
+        out_specs=[tile, const((c, f)), const((f, 1)), const((f, c)),
+                   const((c, 1))],
+        out_shape=[jax.ShapeDtypeStruct((n, c, l), x.dtype),
+                   jax.ShapeDtypeStruct((c, f), jnp.float32),
+                   jax.ShapeDtypeStruct((f, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((f, c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32)],
+        interpret=_needs_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * l * c * f,
+            bytes_accessed=6 * n * l * c * x.dtype.itemsize,
+            transcendentals=2 * n * l * f,
+        ),
+    )(x, w1, b1.reshape(f, 1), w2, dy)
+    return (dx, dw1.astype(w1.dtype), db1[:, 0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[:, 0].astype(b2.dtype))
+
+
+@jax.custom_vjp
+def _mlp_core_dm(x, w1, b1, w2, b2):
+    return _call_fwd_dm(x, w1, b1, w2, b2)
+
+
+def _fwd_rule_dm(x, w1, b1, w2, b2):
+    return _call_fwd_dm(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _bwd_rule_dm(res, dy):
+    return _call_bwd_dm(*res, dy)
+
+
+_mlp_core_dm.defvjp(_fwd_rule_dm, _bwd_rule_dm)
+
+
+def _dm_vmem_need(c: int, f: int, l: int, itemsize: int) -> int:
+    tiles = 3 * 2 * c * l * itemsize       # x, dy, dx double-buffered
+    tiles += 3 * f * l * 4 + f * l * itemsize   # u, dh, du f32; g
+    return tiles + 2 * c * f * itemsize + 2 * c * f * 4
+
+
+# ---------------------------------------------------------------------------
+# D-major MLP + ConditionalLayerNorm + residual, fully fused:
+#
+#     out = x + s * cln(mlp(x)) + b,   cln = (o - mu_C) * rsqrt(var_C + eps)
+#
+# i.e. the entire second half of a SwinBlock (reference model.py:176-186 +
+# HF Swinv2 MLP). s/b are the per-sample (B, C) conditional scale/shift (the
+# caller folds the drop-path keep mask into them — the whole epilogue is
+# linear in s/b). In the D-major tile the channel reduction is a SUBLANE
+# mean — nearly free on the VPU — and the residual add happens while the
+# tile is VMEM-resident, removing the norm's and the residual's separate
+# HBM round trips (~4 ms/step over stages 0-1 in the r3 trace).
+# The fc2 output is rounded to the stream dtype before the norm so numerics
+# match the unfused path (which norms the bf16 Dense output).
+# ---------------------------------------------------------------------------
+
+def _cln(o, s_ref, b_ref, eps):
+    mu = jnp.mean(o, axis=0, keepdims=True)            # (1, Lt) sublane mean
+    var = jnp.maximum(jnp.mean(o * o, axis=0, keepdims=True) - mu * mu, 0.0)
+    r = jax.lax.rsqrt(var + eps)
+    yhat = (o - mu) * r
+    return yhat, r, s_ref[0] * yhat + b_ref[0]
+
+
+def _fwd_kernel_dm_cln(eps, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       s_ref, b_ref, o_ref):
+    x = x_ref[0]                                       # (C, Lt)
+    u = _dot(w1_ref[...], x, (0, 0)) + b1_ref[...]
+    g = _gelu(u).astype(x.dtype)
+    o = _dot(w2_ref[...], g, (0, 0)) + b2_ref[...]     # (C, Lt) f32
+    o = o.astype(x.dtype).astype(jnp.float32)          # match unfused rounding
+    _, _, y = _cln(o, s_ref, b_ref, eps)
+    o_ref[0] = (x.astype(jnp.float32)
+                + y.astype(x.dtype).astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwd_kernel_dm_cln(eps, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       s_ref, b_ref, dy_ref,
+                       dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                       ds_ref, db_ref):
+    i = pl.program_id(0)
+    x = x_ref[0]
+    dy = dy_ref[0].astype(jnp.float32)                 # (C, Lt)
+    u = _dot(w1_ref[...], x, (0, 0)) + b1_ref[...]
+    g = _gelu(u).astype(x.dtype)
+    o = _dot(w2_ref[...], g, (0, 0)) + b2_ref[...]
+    o = o.astype(x.dtype).astype(jnp.float32)
+    yhat, r, _ = _cln(o, s_ref, b_ref, eps)
+    # Conditioning grads: per-image (C, 1) lane reductions, no accumulation.
+    ds_ref[0] = jnp.sum(dy * yhat, axis=1, keepdims=True)
+    db_ref[0] = jnp.sum(dy, axis=1, keepdims=True)
+    # LayerNorm backward (no affine): do = r*(dyh - mean(dyh) - yhat*mean(dyh*yhat))
+    dyh = dy * s_ref[0]
+    m1 = jnp.mean(dyh, axis=0, keepdims=True)
+    m2 = jnp.mean(dyh * yhat, axis=0, keepdims=True)
+    do = r * (dyh - m1 - yhat * m2)                    # (C, Lt) f32
+    dob = do.astype(x.dtype)
+    dh = _dot(w2_ref[...], dob, (1, 0))                # (F, Lt) f32
+    du = dh * _dgelu(u)
+    dub = du.astype(x.dtype)
+    dx_mlp = _dot(w1_ref[...], dub, (1, 0))            # (C, Lt) f32
+    dx_ref[0] = (dy + dx_mlp).astype(dx_ref.dtype)     # + residual identity
+    _acc(dw1_ref, i, _dot(x, dub, (1, 1)))
+    _acc(db1_ref, i, jnp.sum(du, axis=1, keepdims=True))
+    _acc(dw2_ref, i, _dot(g, dob, (1, 1)))
+    _acc(db2_ref, i, jnp.sum(do, axis=1, keepdims=True))
+
+
+def _call_fwd_dm_cln(eps, x, w1, b1, w2, b2, s, b):
+    n, c, l = x.shape
+    f = w1.shape[1]
+    tile = pl.BlockSpec((1, c, l), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    per_im = pl.BlockSpec((1, c, 1), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_dm_cln, eps),
+        grid=(n,),
+        in_specs=[tile, const((c, f)), const((f, 1)), const((f, c)),
+                  const((c, 1)), per_im, per_im],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((n, c, l), x.dtype),
+        interpret=_needs_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * l * c * f,
+            bytes_accessed=4 * n * l * c * x.dtype.itemsize,
+            transcendentals=n * l * f,
+        ),
+    )(x, w1, b1.reshape(f, 1), w2, b2.reshape(c, 1),
+      s.reshape(n, c, 1), b.reshape(n, c, 1))
+
+
+def _call_bwd_dm_cln(eps, x, w1, b1, w2, b2, s, b, dy):
+    n, c, l = x.shape
+    f = w1.shape[1]
+    tile = pl.BlockSpec((1, c, l), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    per_im = pl.BlockSpec((1, c, 1), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    dx, dw1, db1, dw2, db2, ds, db = pl.pallas_call(
+        functools.partial(_bwd_kernel_dm_cln, eps),
+        grid=(n,),
+        in_specs=[tile, const((c, f)), const((f, 1)), const((f, c)),
+                  const((c, 1)), per_im, per_im, tile],
+        out_specs=[tile, const((c, f)), const((f, 1)), const((f, c)),
+                   const((c, 1)), per_im, per_im],
+        out_shape=[jax.ShapeDtypeStruct((n, c, l), x.dtype),
+                   jax.ShapeDtypeStruct((c, f), jnp.float32),
+                   jax.ShapeDtypeStruct((f, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((f, c), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n, c, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n, c, 1), jnp.float32)],
+        interpret=_needs_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * l * c * f,
+            bytes_accessed=6 * n * l * c * x.dtype.itemsize,
+            transcendentals=2 * n * l * f,
+        ),
+    )(x, w1, b1.reshape(f, 1), w2, b2.reshape(c, 1),
+      s.reshape(n, c, 1), b.reshape(n, c, 1), dy)
+    return (dx, dw1.astype(w1.dtype), db1[:, 0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[:, 0].astype(b2.dtype),
+            ds[..., 0].astype(s.dtype), db[..., 0].astype(b.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mlp_cln_core(eps, x, w1, b1, w2, b2, s, b):
+    return _call_fwd_dm_cln(eps, x, w1, b1, w2, b2, s, b)
+
+
+def _cln_fwd_rule(eps, x, w1, b1, w2, b2, s, b):
+    return (_call_fwd_dm_cln(eps, x, w1, b1, w2, b2, s, b),
+            (x, w1, b1, w2, b2, s, b))
+
+
+def _cln_bwd_rule(eps, res, dy):
+    return _call_bwd_dm_cln(eps, *res, dy)
+
+
+_mlp_cln_core.defvjp(_cln_fwd_rule, _cln_bwd_rule)
+
+
+def dm_eligible(x_shape, c: int, f: int, itemsize: int) -> bool:
+    """True when a 3-D (B, L, C) input takes the D-major fused path."""
+    if len(x_shape) != 3 or x_shape[1] % 128 != 0:
+        return False
+    from ..utils.device import vmem_budget_bytes
+
+    return _dm_vmem_need(c, f, x_shape[1], itemsize) <= vmem_budget_bytes()
+
+
+def fused_mlp_cln(x, w1, b1, w2, b2, scale, shift, eps=1e-5):
+    """Fused SwinBlock tail: ``x + scale * cln(mlp(x)) + shift`` with
+    per-sample conditioning.
+
+    Args:
+        x: (B, L, C) residual-stream activations, L a lane multiple.
+        w1/b1/w2/b2: MLP params as in :func:`fused_mlp`.
+        scale, shift: (B, C) f32 conditional scale/shift (drop-path keep
+            masks pre-folded by the caller).
+        eps: LayerNorm epsilon (static).
+    Returns:
+        (B, L, C) in x's dtype.
+    """
+    assert dm_eligible(x.shape, x.shape[-1], w1.shape[1], x.dtype.itemsize)
+    xt = jnp.swapaxes(x, 1, 2)
+    core = functools.partial(_mlp_cln_core, float(eps))
+    from ..parallel.mesh import attention_mesh
+
+    mesh = attention_mesh()
+    if mesh is not None and x.shape[0] % mesh.shape["data"] == 0:
+        from jax.sharding import PartitionSpec as P
+
+        specs = dict(in_specs=(P("data"), P(), P(), P(), P(), P("data"),
+                               P("data")),
+                     out_specs=P("data"))
+        try:
+            core = jax.shard_map(core, mesh=mesh, check_vma=False, **specs)
+        except (AttributeError, TypeError):
+            from jax.experimental.shard_map import shard_map
+
+            core = shard_map(core, mesh=mesh, check_rep=False, **specs)
+    out = core(xt, w1, b1, w2, b2, scale, shift)
+    return jnp.swapaxes(out, 1, 2)
+
+
+# ---------------------------------------------------------------------------
 # Tiling
 # ---------------------------------------------------------------------------
 
@@ -266,28 +566,34 @@ def _bwd_rule(res, dy):
 _mlp_core.defvjp(_fwd_rule, _bwd_rule)
 
 
-def _sharded_core(m: int):
-    """shard_map the core over the data axis when a >1-device data mesh is
-    active (tokens are batch-major: equal row chunks = whole images as long
-    as the global batch divides the axis, which Trainer guarantees)."""
+def _shard_over_data(core, rows: int):
+    """shard_map ``core`` over the data axis (dim 0 of the first operand,
+    weights replicated) when a >1-device data mesh divides ``rows``."""
     from ..parallel.mesh import attention_mesh
 
     mesh = attention_mesh()
     if mesh is None:
-        return _mlp_core
+        return core
     n_data = mesh.shape["data"]
-    if m % n_data != 0:
-        return _mlp_core
+    if rows % n_data != 0:
+        return core
     from jax.sharding import PartitionSpec as P
 
     specs = dict(in_specs=(P("data"), P(), P(), P(), P()),
                  out_specs=P("data"))
     try:  # jax >= 0.9 stable API
-        return jax.shard_map(_mlp_core, mesh=mesh, check_vma=False, **specs)
+        return jax.shard_map(core, mesh=mesh, check_vma=False, **specs)
     except (AttributeError, TypeError):
         from jax.experimental.shard_map import shard_map
 
-        return shard_map(_mlp_core, mesh=mesh, check_rep=False, **specs)
+        return shard_map(core, mesh=mesh, check_rep=False, **specs)
+
+
+def _sharded_core(m: int):
+    """Token-major core, shard_mapped over the data axis (tokens are batch-
+    major: equal row chunks = whole images as long as the global batch
+    divides the axis, which Trainer guarantees)."""
+    return _shard_over_data(_mlp_core, m)
 
 
 # Minimum token tile for the kernel to beat XLA. The TPU A/B
@@ -311,6 +617,20 @@ def fused_mlp(x, w1, b1, w2, b2):
     lead = x.shape[:-1]
     c = x.shape[-1]
     f = w1.shape[1]
+    if x.ndim == 3 and x.shape[1] % 128 == 0:
+        from ..utils.device import vmem_budget_bytes
+
+        if _dm_vmem_need(c, f, x.shape[1], x.dtype.itemsize) \
+                <= vmem_budget_bytes():
+            # D-major fast path: (B, L, C) -> (B, C, L) elides into a layout
+            # bitcast on the D-major residual stream (see the dm kernels'
+            # comment). L % 128 keeps tokens lane-aligned AND naturally
+            # excludes the wide small-L stages where XLA is already at the
+            # floor.
+            xt = jnp.swapaxes(x, 1, 2)
+            out = _shard_over_data(_mlp_core_dm, x.shape[0])(
+                xt, w1, b1, w2, b2)
+            return jnp.swapaxes(out, 1, 2)
     x2 = x.reshape(-1, c)
     mt, fused_dw = _pick_tile(x2.shape[0], c, f, x.dtype.itemsize)
     if not (fused_dw and mt >= _MIN_WIN_TILE):

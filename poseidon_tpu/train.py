@@ -101,6 +101,11 @@ def build_model_config(config: dict, dataset, time_involved: bool) -> ScOTConfig
         residual_model="convnext",
         use_conditioning=time_involved,
         learn_residual=False,
+        # TPU performance knobs — settable from the YAML/JSON config (the
+        # production fast path is attention_impl=pallas + bf16 scores).
+        attention_impl=config.get("attention_impl", "xla"),
+        score_dtype=config.get("score_dtype", "float32"),
+        scan_blocks=bool(config.get("scan_blocks", False)),
     )
 
 

@@ -13,7 +13,7 @@ import os
 import time
 
 
-def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks=False, attention_impl="xla"):
+def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks=False, attention_impl="xla", fused_block_tail=True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -27,7 +27,8 @@ def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks
     cfg = make_config("B", image_size=128, num_channels=4, num_out_channels=4,
                       channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
                       score_dtype=score_dtype, scan_blocks=scan_blocks,
-                      attention_impl=attention_impl)
+                      attention_impl=attention_impl,
+                      fused_block_tail=fused_block_tail)
     model = ScOT(config=cfg, dtype=jnp.bfloat16, remat=remat)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, 4, 128, 128), jnp.float32)
@@ -120,10 +121,12 @@ if __name__ == "__main__":
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--scan_blocks", action="store_true")
     ap.add_argument("--attention_impl", default="xla")
+    ap.add_argument("--no_fused_tail", action="store_true")
     ap.add_argument("--analyze_only", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
         os.makedirs(args.trace_dir, exist_ok=True)
         run_trace(args.batch, args.trace_dir, args.score_dtype, args.remat,
-                  args.scan_blocks, args.attention_impl)
+                  args.scan_blocks, args.attention_impl,
+                  not args.no_fused_tail)
     analyze(args.trace_dir)

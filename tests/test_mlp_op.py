@@ -102,3 +102,94 @@ def test_variant_selection_geometry():
     assert fused0 and fused1
     assert mt0 >= 256 and mt1 >= 256
     assert not fused3
+
+
+class TestDMajor:
+    """D-major (B, C, L) kernel variant — routed automatically for 3-D
+    inputs with lane-aligned L."""
+
+    def test_forward_matches_xla(self):
+        x, w1, b1, w2, b2 = _make(4 * 128, 32, 128)
+        x3 = x.reshape(4, 128, 32)
+        out = mlp_op.fused_mlp(x3, w1, b1, w2, b2)
+        np.testing.assert_allclose(out.reshape(-1, 32),
+                                   _ref_mlp(x, w1, b1, w2, b2),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_routing_picks_dm(self, monkeypatch):
+        called = {}
+        orig = mlp_op._call_fwd_dm
+
+        def spy(*a):
+            called["dm"] = True
+            return orig(*a)
+
+        monkeypatch.setattr(mlp_op, "_call_fwd_dm", spy)
+        x, w1, b1, w2, b2 = _make(2 * 256, 32, 128)
+        out = mlp_op.fused_mlp(x.reshape(2, 256, 32), w1, b1, w2, b2)
+        assert out.shape == (2, 256, 32)
+        assert called.get("dm"), "3-D lane-aligned input must route D-major"
+
+    def test_gradients_match_xla(self):
+        x, w1, b1, w2, b2 = _make(4 * 128, 32, 128, seed=3)
+        x3 = x.reshape(4, 128, 32)
+
+        def loss_fused(x3, w1, b1, w2, b2):
+            return jnp.sum(jnp.sin(mlp_op.fused_mlp(x3, w1, b1, w2, b2)))
+
+        def loss_ref(x3, w1, b1, w2, b2):
+            return jnp.sum(jnp.sin(_ref_mlp(x3.reshape(-1, 32), w1, b1,
+                                            w2, b2)))
+
+        g = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x3, w1, b1, w2, b2)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x3, w1, b1, w2, b2)
+        gr = (gr[0].reshape(4, 128, 32),) + gr[1:]
+        for a, b, name in zip(g, gr, ["dx", "dw1", "db1", "dw2", "db2"]):
+            np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3,
+                                       err_msg=name)
+
+
+class TestFusedCLNTail:
+    """fused_mlp_cln — MLP + conditional layernorm + residual in one kernel
+    — against the unfused composition."""
+
+    @staticmethod
+    def _ref_tail(x3, w1, b1, w2, b2, scale, shift, eps=1e-5):
+        o = _ref_mlp(x3, w1, b1, w2, b2)
+        of = o.astype(jnp.float32)
+        mu = jnp.mean(of, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(of * of, axis=-1, keepdims=True)
+                          - mu * mu, 0.0)
+        y = (of - mu) * jax.lax.rsqrt(var + eps)
+        y = scale[:, None, :] * y + shift[:, None, :]
+        return x3 + y.astype(x3.dtype)
+
+    def _args(self, seed=0):
+        b, l, c, f = 3, 128, 32, 128
+        x, w1, b1, w2, b2 = _make(b * l, c, f, seed=seed)
+        ks = jax.random.split(jax.random.PRNGKey(seed + 99), 2)
+        scale = jax.random.normal(ks[0], (b, c), jnp.float32) * 0.5
+        shift = jax.random.normal(ks[1], (b, c), jnp.float32) * 0.1
+        return x.reshape(b, l, c), w1, b1, w2, b2, scale, shift
+
+    def test_forward_matches_unfused(self):
+        args = self._args()
+        out = mlp_op.fused_mlp_cln(*args)
+        np.testing.assert_allclose(out, self._ref_tail(*args),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_gradients_match_unfused(self):
+        args = self._args(seed=5)
+
+        def lf(*a):
+            return jnp.sum(jnp.sin(mlp_op.fused_mlp_cln(*a)))
+
+        def lr(*a):
+            return jnp.sum(jnp.sin(self._ref_tail(*a)))
+
+        g = jax.grad(lf, argnums=tuple(range(7)))(*args)
+        gr = jax.grad(lr, argnums=tuple(range(7)))(*args)
+        names = ["dx", "dw1", "db1", "dw2", "db2", "dscale", "dshift"]
+        for a, b, name in zip(g, gr, names):
+            np.testing.assert_allclose(a, b, atol=5e-4, rtol=2e-3,
+                                       err_msg=name)

@@ -202,3 +202,54 @@ class TestPallasRollout:
         y_p = jax.jit(lambda: run(m_p))()
         np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestFusedCLNTailInModel:
+    """Geometry where the SwinBlock fused tail (MLP+CLN+residual kernel)
+    engages: stage-0 token count 1024 (image 128) is lane-aligned. The
+    pallas model must match the XLA model in values, gradients, AND the
+    parameter tree (CLNParams must recreate the norm_mlp fragments)."""
+
+    def _models(self):
+        from poseidon_tpu import ScOT, make_config
+
+        kw = dict(image_size=128, patch_size=4, num_channels=2,
+                  num_out_channels=2, embed_dim=16, depths=(1, 1),
+                  num_heads=(2, 2), skip_connections=(1, 0), window_size=4,
+                  mlp_ratio=2.0, channel_slice_list=(0, 1),
+                  use_conditioning=True)
+        cfg_x = make_config("T", **kw)
+        cfg_p = cfg_x.replace(attention_impl="pallas", fused_block_tail=True)
+        return ScOT(config=cfg_x), ScOT(config=cfg_p)
+
+    def test_values_grads_and_param_tree(self):
+        m_x, m_p = self._models()
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2, 128, 128)),
+                        jnp.float32)
+        t = jnp.asarray([0.3, 0.9])
+        v_x = m_x.init(jax.random.PRNGKey(0), x, t)
+        v_p = m_p.init(jax.random.PRNGKey(0), x, t)
+        tree_x = jax.tree_util.tree_map(lambda a: a.shape, v_x)
+        tree_p = jax.tree_util.tree_map(lambda a: a.shape, v_p)
+        assert tree_x == tree_p, "fused tail changed the parameter tree"
+
+        y_x = m_x.apply(v_x, x, t)
+        y_p = m_p.apply(v_x, x, t)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                   atol=2e-4, rtol=1e-3)
+
+        def loss(model, variables):
+            return jnp.mean(model.apply(variables, x, t) ** 2)
+
+        g_x = jax.grad(lambda v: loss(m_x, v))(v_x)["params"]
+        g_p = jax.grad(lambda v: loss(m_p, v))(v_x)["params"]
+        flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+        flat_p = dict(jax.tree_util.tree_leaves_with_path(g_p))
+        checked = 0
+        for path, leaf in flat_x:
+            other = flat_p[path]
+            np.testing.assert_allclose(
+                np.asarray(other), np.asarray(leaf), atol=5e-4, rtol=5e-3,
+                err_msg=jax.tree_util.keystr(path))
+            checked += 1
+        assert checked > 20

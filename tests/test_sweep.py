@@ -87,3 +87,26 @@ class TestSweepRoundTrip:
                 "--train_small_time_transition",
             ])
         assert os.path.isdir(os.path.join(ckpt_root, "proj", "runB", "model"))
+
+
+def test_perf_knobs_flow_from_config():
+    """attention_impl / score_dtype / scan_blocks are settable from the YAML
+    config dict (the production fast path must be reachable from the CLI)."""
+
+    class _DS:
+        resolution = 128
+        input_dim = 4
+        output_dim = 4
+        channel_slice_list = [0, 1, 3, 4]
+
+    base = dict(patch_size=4, embed_dim=48, depths=[4, 4, 4, 4],
+                num_heads=[3, 6, 12, 24], skip_connections=[2, 2, 2, 0],
+                window_size=16, mlp_ratio=4.0)
+    cfg = train.build_model_config(
+        dict(base, attention_impl="pallas", score_dtype="bfloat16",
+             scan_blocks=True), _DS(), time_involved=True)
+    assert cfg.attention_impl == "pallas"
+    assert cfg.score_dtype == "bfloat16"
+    assert cfg.scan_blocks is True
+    cfg = train.build_model_config(dict(base), _DS(), time_involved=True)
+    assert cfg.attention_impl == "xla" and cfg.scan_blocks is False
