@@ -18,6 +18,40 @@ import time
 import numpy as np
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """Block until the TPU backend answers a trivial computation.
+
+    The remote ("axon") tunnel occasionally reports UNAVAILABLE for minutes
+    at a time (observed outages up to ~1 h); the driver runs this script
+    unattended, so ride out transient outages instead of dying on the first
+    device op."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.perf_counter() + max_wait_s
+    delay = 30.0
+    while True:
+        try:
+            float(jnp.sum(jnp.ones((8, 8))))
+            return
+        except Exception as e:  # backend init/compile unavailable
+            if time.perf_counter() >= deadline:
+                raise
+            print(f"# TPU backend unavailable ({type(e).__name__}); "
+                  f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
+            time.sleep(delay)
+            delay = min(delay * 1.5, 180.0)
+            # a failed init is cached per-process; clear the backend
+            # registry so the next attempt re-dials the tunnel
+            try:
+                from jax.extend.backend import clear_backends
+                clear_backends()
+            except Exception:
+                jax.clear_caches()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -29,6 +63,7 @@ def main():
     from poseidon_tpu.utils.init import enable_compilation_cache, shape_variables
 
     enable_compilation_cache()
+    _wait_for_backend()
 
     # Best measured config (round 2): unrolled stages, fused D-major Pallas
     # attention (fwd + recompute-bwd — no probability stash, so batch 96
