@@ -142,6 +142,10 @@ class WindowAttention(nn.Module):
     initializer_range: float = 0.02
     impl: str = "xla"  # "xla" | "pallas"
     score_dtype: Dtype = jnp.float32
+    # TRUE windows per image (the shift mask's leading dim collapses to 1
+    # for unshifted blocks) — the fused kernels need it to keep data-mesh
+    # shards whole-image aligned.
+    windows_per_image: int = 1
 
     @nn.compact
     def __call__(
@@ -230,7 +234,8 @@ class WindowAttention(nn.Module):
                 shape_p = (bnw, hp, hd, p * t)
                 out = fused_window_attention(
                     qT.reshape(shape_p), kT.reshape(shape_p),
-                    vT.reshape(shape_p), bias, m, scale, layout="nhdt_packed")
+                    vT.reshape(shape_p), bias, m, scale, layout="nhdt_packed",
+                    windows_per_image=self.windows_per_image)
                 # Packed C order is (head_group, d, head_in_group); contract
                 # it against the correspondingly row-permuted proj kernel.
                 out = out.reshape(bnw, c, t)
@@ -244,7 +249,7 @@ class WindowAttention(nn.Module):
                 out = fused_window_attention(
                     qT.reshape(bnw, heads, hd, t), kT.reshape(bnw, heads, hd, t),
                     vT.reshape(bnw, heads, hd, t), bias, m, scale,
-                    layout="nhdt")
+                    layout="nhdt", windows_per_image=self.windows_per_image)
                 out = out.reshape(bnw, c, t)
                 wp_k = wp[0]
             # Project straight out of the D-major world: (N, C, T) @ (C, C)

@@ -141,6 +141,7 @@ class SwinBlock(nn.Module):
             initializer_range=cfg.initializer_range,
             impl=cfg.attention_impl,
             score_dtype=jnp.bfloat16 if cfg.score_dtype == "bfloat16" else jnp.float32,
+            windows_per_image=(hpad // window) * (wpad // window),
             name="attn",
         )(windows, mask, deterministic)
 

@@ -566,16 +566,21 @@ def _bwd_rule(res, dy):
 _mlp_core.defvjp(_fwd_rule, _bwd_rule)
 
 
-def _shard_over_data(core, rows: int):
+def _shard_over_data(core, rows: int, granule: int = 1):
     """shard_map ``core`` over the data axis (dim 0 of the first operand,
-    weights replicated) when a >1-device data mesh divides ``rows``."""
+    weights replicated) when a >1-device data mesh divides ``rows`` into
+    whole-image shards (``granule`` = rows per image). Mid-image shards are
+    numerically fine for the row-independent MLP, but they let the
+    surrounding GSPMD partitioner split the image dims of downstream
+    reshapes — see ops/window_attention.py::_sharded_core for the observed
+    wrong-gradient failure mode."""
     from ..parallel.mesh import attention_mesh
 
     mesh = attention_mesh()
     if mesh is None:
         return core
     n_data = mesh.shape["data"]
-    if rows % n_data != 0:
+    if rows % (n_data * granule) != 0:
         return core
     from jax.sharding import PartitionSpec as P
 
@@ -589,11 +594,10 @@ def _shard_over_data(core, rows: int):
         return shard_map(core, mesh=mesh, check_rep=False, **specs)
 
 
-def _sharded_core(m: int):
-    """Token-major core, shard_mapped over the data axis (tokens are batch-
-    major: equal row chunks = whole images as long as the global batch
-    divides the axis, which Trainer guarantees)."""
-    return _shard_over_data(_mlp_core, m)
+def _sharded_core(m: int, granule: int = 1):
+    """Token-major core, shard_mapped over the data axis in whole-image
+    chunks (``granule`` = tokens per image)."""
+    return _shard_over_data(_mlp_core, m, granule)
 
 
 # Minimum token tile for the kernel to beat XLA. The TPU A/B
@@ -636,5 +640,6 @@ def fused_mlp(x, w1, b1, w2, b2):
     if not (fused_dw and mt >= _MIN_WIN_TILE):
         h = jax.nn.gelu(x2 @ w1 + b1.astype(x.dtype), approximate=False)
         return (h @ w2 + b2.astype(x.dtype)).reshape(*lead, c)
-    out = _sharded_core(x2.shape[0])(x2, w1, b1, w2, b2)
+    granule = x.shape[1] if x.ndim == 3 else 1  # tokens per image
+    out = _sharded_core(x2.shape[0], granule)(x2, w1, b1, w2, b2)
     return out.reshape(*lead, c)

@@ -305,23 +305,29 @@ def _packed_bm(bm0, hp: int, p: int, t: int):
     return bmp
 
 
-def _sharded_core(pairs: int, base: int):
+def _sharded_core(pairs: int, granule: int):
     """The attention core, shard_mapped over the data axis when a >1-device
     data mesh is active (see parallel.mesh.set_attention_mesh). The SPMD
     partitioner cannot split the Pallas custom calls itself — without this it
     all-gathers the batch around every kernel. shard_map's reverse-mode
     automatically psums the cotangents of the replicated bm/srow operands.
 
-    Every shard must receive WHOLE images (a multiple of the bm period
-    ``base``) or the kernel's modular bias indexing and grid sizing break —
-    fall back to the unsharded core otherwise."""
+    Every shard must receive WHOLE images: ``granule`` is the row count of
+    one image (windows_per_image x head-groups), and callers must pass the
+    TRUE window count — not the mask's leading dim, which collapses to 1 for
+    unshifted blocks. Whole-image shards keep the kernel's modular bias
+    indexing aligned AND keep the surrounding partitioner sane: mid-image
+    shards let GSPMD propagate a split along the reshaped image dims, which
+    was observed to double a downstream conv weight-gradient (batch 2, 8
+    devices, packed stage-0 — tests/test_sharding.py regression). Fall back
+    to the unsharded core when shards would not be whole images."""
     from ..parallel.mesh import attention_mesh
 
     mesh = attention_mesh()
     if mesh is None:
         return _attention_core
     n_data = mesh.shape["data"]
-    if pairs % (n_data * base) != 0:
+    if pairs % (n_data * granule) != 0:
         return _attention_core
     from jax.sharding import PartitionSpec as P
 
@@ -335,7 +341,8 @@ def _sharded_core(pairs: int, base: int):
         return shard_map(_attention_core, mesh=mesh, check_rep=False, **specs)
 
 
-def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
+def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd",
+                           windows_per_image: int = 1):
     """Full fused cosine window attention.
 
     Args:
@@ -354,6 +361,9 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
         mask: (nW, T, T) fp32 additive shift mask, already doubled by the
             caller (the HF reference adds it twice); zeros when unshifted.
         scale: (H,) fp32 exp(clamped logit_scale).
+        windows_per_image: the TRUE number of windows per image (the mask's
+            leading dim collapses to 1 for unshifted blocks) — required for
+            whole-image shard granularity under a >1-device data mesh.
     Returns:
         Attention output in q's dtype, in the same layout as the inputs.
     """
@@ -366,7 +376,7 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
         bm0 = bias + mask[0][None]  # (H, T, T)
         bmp = _packed_bm(bm0, hp, p, t)
         srow = jnp.repeat(scale.reshape(hp, p), t, axis=1)[:, None, :]  # (H',1,T')
-        core = _sharded_core(n * hp, hp)
+        core = _sharded_core(n * hp, windows_per_image * hp)
 
         def flatp(x):
             return x.reshape(n * hp, d, tp)
@@ -403,7 +413,8 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
         # Block-diagonal bm: per-head blocks on the diagonal, -1e9 elsewhere.
         bmp = _packed_bm(bm[0], hp, p, t)
         srow = jnp.repeat(scale.reshape(hp, p), t, axis=1)[:, None, :]  # (H',1,T')
-        out = _sharded_core(n * hp, hp)(pack(q), pack(k), pack(v), bmp, srow)
+        out = _sharded_core(n * hp, windows_per_image * hp)(
+            pack(q), pack(k), pack(v), bmp, srow)
         out = (out.reshape(n, hp, d, p, t).transpose(0, 1, 3, 2, 4)
                .reshape(n, h, d, t))
         return from_hdT(out)
@@ -414,8 +425,8 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd"):
     def flat(x):
         return to_hdT(x).reshape(n * h, d, t)
 
-    out = _sharded_core(n * h, base)(flat(q), flat(k), flat(v),
-                                    bm.reshape(base, t, t), srow)
+    out = _sharded_core(n * h, windows_per_image * h)(
+        flat(q), flat(k), flat(v), bm.reshape(base, t, t), srow)
     return from_hdT(out.reshape(n, h, d, t))
 
 

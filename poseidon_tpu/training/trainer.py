@@ -71,10 +71,9 @@ class Trainer:
         self.eval_dataset = eval_dataset
         self.compute_metrics = compute_metrics
         self.mesh = mesh if mesh is not None else make_mesh(num_model=args.num_model_shards)
-        # Let the fused attention kernels shard over the data axis (no-op on
-        # a single-device data mesh); see parallel.mesh.set_attention_mesh.
-        from ..parallel.mesh import set_attention_mesh
-        set_attention_mesh(self.mesh)
+        # The fused Pallas kernels shard over this mesh's data axis; the
+        # mesh is scoped around every trace (_jitted / _init_variables)
+        # rather than set process-globally.
         data_size = self.mesh.shape["data"]
         for name, bs in (("train_batch_size", args.train_batch_size),
                          ("eval_batch_size", args.eval_batch_size)):
@@ -99,7 +98,10 @@ class Trainer:
         cfg = self.config
         x = jnp.zeros((1, cfg.num_channels, cfg.image_size, cfg.image_size))
         t = jnp.zeros((1,))
-        return jax.jit(self.model.init)(self.rng, x, t)
+        from ..parallel.mesh import attention_mesh_scope
+
+        with attention_mesh_scope(self.mesh):
+            return jax.jit(self.model.init)(self.rng, x, t)
 
     def _steps_per_epoch(self) -> int:
         return max(len(self.train_dataset) // self.args.train_batch_size, 1)
@@ -274,7 +276,21 @@ class Trainer:
         key = (name, self.ar_steps if not isinstance(self.ar_steps, list)
                else tuple(self.ar_steps), self.output_all_steps)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(fn, **jit_kw)
+            jitted = jax.jit(fn, **jit_kw)
+
+            # The fused Pallas ops read the attention mesh at TRACE time
+            # (parallel.mesh). Scope it around every call — tracing happens
+            # on the first one — instead of mutating the process-global, so
+            # multiple Trainers coexist and nothing leaks into standalone
+            # model code traced after this Trainer (stale-mesh gradients:
+            # tests/test_sharding.py).
+            from ..parallel.mesh import attention_mesh_scope
+
+            def scoped(*a, _jitted=jitted, **k):
+                with attention_mesh_scope(self.mesh):
+                    return _jitted(*a, **k)
+
+            self._jit_cache[key] = scoped
         return self._jit_cache[key]
 
     def _device_batch(self, batch):
@@ -315,9 +331,6 @@ class Trainer:
 
     # -- loops --------------------------------------------------------------
     def train(self, resume_from_checkpoint: Optional[bool] = None):
-        from ..parallel.mesh import set_attention_mesh
-
-        set_attention_mesh(self.mesh)  # re-assert before any (re)trace
         a = self.args
         if resume_from_checkpoint is None:
             resume_from_checkpoint = a.resume_from_checkpoint
@@ -434,9 +447,6 @@ class Trainer:
         loader padding excluded: predictions/labels are trimmed to the valid
         count and losses are masked in-step (matching the reference's uneven
         final eval batch)."""
-        from ..parallel.mesh import set_attention_mesh
-
-        set_attention_mesh(self.mesh)  # re-assert before any (re)trace
         a = self.args
         from ..data.loader import DataLoader
 

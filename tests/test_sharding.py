@@ -121,3 +121,66 @@ class TestPallasUnderMesh:
         for a, b in zip(jax.tree_util.tree_leaves(g_sh),
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestWholeImageShardGuard:
+    """Regression: packed/unshifted attention under a data mesh must never
+    split an image's windows across shards. With the old guard (granule =
+    head-groups only, mask nW collapsed to 1 for unshifted blocks), batch 2
+    on the 8-device mesh sharded one WINDOW per device and XLA's partitioner
+    doubled the patch_recovery mixup conv weight gradient (exactly 2x) while
+    every other grad and the forward stayed correct."""
+
+    def _grads(self, cfg, variables, x, t):
+        from poseidon_tpu import ScOT
+
+        m = ScOT(config=cfg)
+
+        def loss(v):
+            return jnp.sum(m.apply(v, x, t) ** 2)
+
+        return jax.jit(jax.grad(loss))(variables)
+
+    @pytest.mark.parametrize("batch", [2, 8])
+    def test_packed_grads_match_under_mesh(self, batch):
+        from poseidon_tpu import ScOT, make_config
+        from poseidon_tpu.parallel.mesh import attention_mesh_scope, make_mesh
+
+        kw = dict(image_size=32, patch_size=4, num_channels=3,
+                  num_out_channels=2, embed_dim=64, depths=(1, 1),
+                  num_heads=(8, 8), skip_connections=(1, 0), window_size=4,
+                  mlp_ratio=2.0, channel_slice_list=(0, 1, 2),
+                  use_conditioning=True)
+        cfg_x = make_config("T", **kw)
+        cfg_p = cfg_x.replace(attention_impl="pallas")
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(batch, 3, 32, 32)), jnp.float32)
+        t = jnp.linspace(0.1, 0.9, batch)
+        variables = ScOT(config=cfg_x).init(jax.random.PRNGKey(0), x[:1], t[:1])
+        g_ref = self._grads(cfg_x, variables, x, t)  # XLA path, mesh-blind
+        with attention_mesh_scope(make_mesh()):  # batch 8: actively sharded
+            g_p = self._grads(cfg_p, variables, x, t)
+        for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                                jax.tree_util.tree_leaves(g_p)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+                err_msg=jax.tree_util.keystr(path))
+
+    def test_trainer_does_not_leak_mesh(self, tmp_path):
+        """Constructing/using a Trainer must not leave the process-global
+        attention mesh set (stale-mesh traces in later standalone code)."""
+        from poseidon_tpu import make_config
+        from poseidon_tpu.parallel.mesh import attention_mesh as get_mesh
+        from poseidon_tpu.models.scot import ScOT
+        from poseidon_tpu.training import Trainer, TrainingArguments
+
+        cfg = make_config("T", image_size=16, patch_size=4, num_channels=1,
+                          num_out_channels=1, embed_dim=16, depths=(1, 1),
+                          num_heads=(2, 2), skip_connections=(1, 0),
+                          window_size=4, mlp_ratio=1.0,
+                          channel_slice_list=(0,), use_conditioning=True)
+        args = TrainingArguments(
+            output_dir=str(tmp_path), train_batch_size=8, eval_batch_size=8,
+            num_train_epochs=1, report_to="none")
+        Trainer(ScOT(config=cfg), args, train_dataset=None, eval_dataset=None)
+        assert get_mesh() is None
