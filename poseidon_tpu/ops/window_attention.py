@@ -425,7 +425,9 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd",
     def flat(x):
         return to_hdT(x).reshape(n * h, d, t)
 
-    out = _sharded_core(n * h, windows_per_image * h)(
+    # max() keeps direct callers that omit windows_per_image at least at the
+    # mask-derived granule (shifted masks carry the true window count).
+    out = _sharded_core(n * h, max(windows_per_image, nw) * h)(
         flat(q), flat(k), flat(v), bm.reshape(base, t, t), srow)
     return from_hdT(out.reshape(n, h, d, t))
 
