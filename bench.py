@@ -73,7 +73,8 @@ def main():
     # 468 (folded scale) -> 568 (bf16 scores, b48) -> 633 samples/s
     # (D-major pallas attention, b96).
     batch = int(os.environ.get("BENCH_BATCH", "96"))
-    cfg = make_config("B", image_size=128, num_channels=4, num_out_channels=4,
+    size = os.environ.get("BENCH_MODEL", "B")  # T/S/B/L (B = metric of record)
+    cfg = make_config(size, image_size=128, num_channels=4, num_out_channels=4,
                       channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
                       score_dtype="bfloat16", attention_impl="pallas")
     model = ScOT(config=cfg, dtype=jnp.bfloat16)
@@ -104,7 +105,27 @@ def main():
         params2 = optax.apply_updates(params, updates)
         return params2, opt_state2, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
+    # BENCH_SCAN=K > 0 runs K steps inside ONE jit via lax.scan (same batch
+    # each step — throughput does not depend on data values). This removes
+    # every per-step host round trip through the remote tunnel (step
+    # dispatch AND per-custom-call dispatch, measured at 0-20 ms/step
+    # load-dependent), i.e. it measures true device throughput the way a
+    # production host with local chips would see it.
+    scan_len = int(os.environ.get("BENCH_SCAN", "0"))
+    if scan_len > 0:
+        def train_scan(params, opt_state, x, t, labels):
+            def body(carry, _):
+                p, s = carry
+                p2, s2, loss = train_step(p, s, x, t, labels)
+                return (p2, s2), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=scan_len)
+            return params, opt_state, losses[-1]
+
+        step = jax.jit(train_scan, donate_argnums=(0, 1))
+    else:
+        step = jax.jit(train_step, donate_argnums=(0, 1))
 
     import sys
 
@@ -114,6 +135,8 @@ def main():
     print(f"# compile done in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
     try:
         flops_per_step = float(compiled.cost_analysis()["flops"])
+        if scan_len > 0:
+            flops_per_step /= scan_len
     except Exception:
         flops_per_step = float("nan")
     print(f"# cost analysis done", file=sys.stderr, flush=True)
@@ -130,12 +153,12 @@ def main():
     # report the MEDIAN of several timing windows to reject transient noise.
     windows = []
     for _ in range(5):
-        iters = 10
+        iters = max(1, 10 // max(scan_len, 1))
         t0 = time.perf_counter()
         for _ in range(iters):
             params, opt_state, loss = step(params, opt_state, x, t, labels)
         float(loss)
-        windows.append((time.perf_counter() - t0) / iters)
+        windows.append((time.perf_counter() - t0) / (iters * max(scan_len, 1)))
 
     step_time = float(np.median(windows))
     samples_per_sec = batch / step_time
@@ -159,6 +182,8 @@ def main():
             "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
             "flops_per_step": flops_per_step,
             "batch": batch,
+            "model": size,
+            "scan_len": scan_len,
             "device": str(kind),
             "score_dtype": "bfloat16",
             "attention_impl": "pallas",
