@@ -15,3 +15,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_memory_between_modules():
+    """Full-size (B-scale) modules each hold hundreds of MB of compiled
+    executables and device arrays; running several in one pytest process
+    (e.g. `pytest -m slow tests/`) can exhaust process memory. Drop the
+    compilation caches and collect after every module."""
+    yield
+    jax.clear_caches()
+    gc.collect()
