@@ -134,9 +134,15 @@ def main():
     compiled = step.lower(params, opt_state, x, t, labels).compile()
     print(f"# compile done in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
     try:
-        flops_per_step = float(compiled.cost_analysis()["flops"])
         if scan_len > 0:
-            flops_per_step /= scan_len
+            # XLA cost_analysis counts a lax.scan body ONCE (verified:
+            # a 10-iteration scanned matmul reports the same flops as a
+            # single one), so analyze a lowered (uncompiled — no second
+            # remote compile) single step instead of the scan.
+            single = jax.jit(train_step).lower(params, opt_state, x, t, labels)
+            flops_per_step = float(single.cost_analysis()["flops"])
+        else:
+            flops_per_step = float(compiled.cost_analysis()["flops"])
     except Exception:
         flops_per_step = float("nan")
     print(f"# cost analysis done", file=sys.stderr, flush=True)

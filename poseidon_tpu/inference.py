@@ -21,6 +21,7 @@ import argparse
 import csv
 import json
 import os
+import re
 from typing import List, Optional
 
 # Reference scOT/train.py:16 — avoid HDF5 file-locking contention.
@@ -282,13 +283,27 @@ def _sweep_runs(params):
 def _resolve_model_path(ckpt_dir: str) -> Optional[str]:
     """The loadable model dir inside a run's checkpoint dir: the dir itself
     for this framework's native saves (``model/`` + config.json), else the
-    first checkpoint subdir (reference inference.py:676-693)."""
+    best candidate subdir — ``best`` if present, then the HIGHEST-step
+    ``checkpoint-N`` (numeric, not lexical: checkpoint-1000 must not beat
+    checkpoint-2000), with a warning when the choice is ambiguous (the
+    reference warns and skips such runs, inference.py:676-693)."""
     if os.path.isdir(os.path.join(ckpt_dir, "model")):
         return ckpt_dir
-    dirs = sorted(d for d in os.listdir(ckpt_dir)
-                  if os.path.isdir(os.path.join(ckpt_dir, d))
-                  and d not in ("profile",))
-    return os.path.join(ckpt_dir, dirs[0]) if dirs else None
+    dirs = [d for d in os.listdir(ckpt_dir)
+            if os.path.isdir(os.path.join(ckpt_dir, d)) and d != "profile"]
+    if not dirs:
+        return None
+    if "best" in dirs:
+        pick = "best"
+    else:
+        def step(d):
+            m = re.match(r"checkpoint-(\d+)$", d)
+            return int(m.group(1)) if m else -1
+        pick = max(sorted(dirs), key=step)
+    if len(dirs) > 1:
+        print(f"WARNING: more than one checkpoint in {ckpt_dir}; "
+              f"choosing {pick}")
+    return os.path.join(ckpt_dir, pick)
 
 
 def _sweep_iterate(params, fn):

@@ -181,7 +181,8 @@ class SwinBlock(nn.Module):
                       and cfg.use_conditioning and time is not None
                       and (cfg.hidden_dropout_prob == 0.0 or deterministic)
                       and dm_eligible(x.shape, c, f,
-                                      jnp.dtype(self.dtype).itemsize))
+                                      jnp.dtype(self.dtype).itemsize,
+                                      cln=True))
         if fused_tail:
             from ..models.layers import CLNParams
             from ..ops.mlp import fused_mlp_cln
@@ -539,6 +540,13 @@ def forward_with_intermediates(model, variables, pixel_values, time=None,
             "pairs (the returned list would be silently empty). Rebuild the "
             "model with config.replace(scan_blocks=False); the param tree "
             "can be bridged via poseidon_tpu.hub.")
+    if model.config.attention_impl != "xla":
+        raise ValueError(
+            "forward_with_intermediates requires attention_impl='xla': the "
+            "fused Pallas kernel never materializes the softmax "
+            "probabilities (the returned attentions would be silently "
+            "empty). Rebuild with config.replace(attention_impl='xla') — "
+            "the param tree is identical across implementations.")
     import re
 
     pred, inter = model.apply(variables, pixel_values, time,
@@ -548,12 +556,16 @@ def forward_with_intermediates(model, variables, pixel_values, time=None,
     def _sort_key(keys):
         # encoder stages first (ascending), then decoder in EXECUTION order:
         # deepest stage first (Decoder runs stage N-1 .. 0), blocks ascending.
+        # Numeric segments compare as numbers so block_10 sorts after block_9
+        # (a lexical tiebreak would misorder stages of depth >= 11).
         section = 0 if keys[0] == "encoder" else 1
         path = "/".join(keys)
         m = re.search(r"stage_(\d+)", path)
         stage = int(m.group(1)) if m else -1
         stage_order = stage if section == 0 else -stage
-        return (section, stage_order, path)
+        natural = tuple(int(p) if p.isdigit() else p
+                        for p in re.split(r"(\d+)", path))
+        return (section, stage_order, natural)
 
     def _collect(leaf_name):
         out = []

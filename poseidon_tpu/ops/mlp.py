@@ -391,13 +391,21 @@ def _cln_bwd_rule(eps, res, dy):
 _mlp_cln_core.defvjp(_cln_fwd_rule, _cln_bwd_rule)
 
 
-def dm_eligible(x_shape, c: int, f: int, itemsize: int) -> bool:
-    """True when a 3-D (B, L, C) input takes the D-major fused path."""
+def dm_eligible(x_shape, c: int, f: int, itemsize: int,
+                cln: bool = False) -> bool:
+    """True when a 3-D (B, L, C) input takes the D-major fused path.
+
+    ``cln=True`` budgets the fused MLP+CLN variant, whose backward keeps
+    ~5 extra (C, L) f32 tensors live (o, yhat, f32 dy, do, dx_mlp) beyond
+    the plain D-major backward."""
     if len(x_shape) != 3 or x_shape[1] % 128 != 0:
         return False
     from ..utils.device import vmem_budget_bytes
 
-    return _dm_vmem_need(c, f, x_shape[1], itemsize) <= vmem_budget_bytes()
+    need = _dm_vmem_need(c, f, x_shape[1], itemsize)
+    if cln:
+        need += 5 * c * x_shape[1] * 4
+    return need <= vmem_budget_bytes()
 
 
 def fused_mlp_cln(x, w1, b1, w2, b2, scale, shift, eps=1e-5):
@@ -413,24 +421,17 @@ def fused_mlp_cln(x, w1, b1, w2, b2, scale, shift, eps=1e-5):
     Returns:
         (B, L, C) in x's dtype.
     """
-    assert dm_eligible(x.shape, x.shape[-1], w1.shape[1], x.dtype.itemsize)
+    assert dm_eligible(x.shape, x.shape[-1], w1.shape[1], x.dtype.itemsize,
+                       cln=True)
     xt = jnp.swapaxes(x, 1, 2)
-    core = functools.partial(_mlp_cln_core, float(eps))
-    from ..parallel.mesh import attention_mesh
+    from jax.sharding import PartitionSpec as P
 
-    mesh = attention_mesh()
-    if mesh is not None and x.shape[0] % mesh.shape["data"] == 0:
-        from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import maybe_shard_map_data
 
-        specs = dict(in_specs=(P("data"), P(), P(), P(), P(), P("data"),
-                               P("data")),
-                     out_specs=P("data"))
-        try:
-            core = jax.shard_map(core, mesh=mesh, check_vma=False, **specs)
-        except (AttributeError, TypeError):
-            from jax.experimental.shard_map import shard_map
-
-            core = shard_map(core, mesh=mesh, check_rep=False, **specs)
+    core = maybe_shard_map_data(
+        functools.partial(_mlp_cln_core, float(eps)), x.shape[0], 1,
+        in_specs=(P("data"), P(), P(), P(), P(), P("data"), P("data")),
+        out_specs=P("data"))
     out = core(xt, w1, b1, w2, b2, scale, shift)
     return jnp.swapaxes(out, 1, 2)
 
@@ -568,30 +569,16 @@ _mlp_core.defvjp(_fwd_rule, _bwd_rule)
 
 def _shard_over_data(core, rows: int, granule: int = 1):
     """shard_map ``core`` over the data axis (dim 0 of the first operand,
-    weights replicated) when a >1-device data mesh divides ``rows`` into
-    whole-image shards (``granule`` = rows per image). Mid-image shards are
-    numerically fine for the row-independent MLP, but they let the
-    surrounding GSPMD partitioner split the image dims of downstream
-    reshapes — see ops/window_attention.py::_sharded_core for the observed
-    wrong-gradient failure mode."""
-    from ..parallel.mesh import attention_mesh
-
-    mesh = attention_mesh()
-    if mesh is None:
-        return core
-    n_data = mesh.shape["data"]
-    if rows % (n_data * granule) != 0:
-        return core
+    weights replicated) when the active data mesh divides ``rows`` into
+    whole-image shards (``granule`` = rows per image; see
+    parallel.mesh.maybe_shard_map_data for why whole-image is mandatory)."""
     from jax.sharding import PartitionSpec as P
 
-    specs = dict(in_specs=(P("data"), P(), P(), P(), P()),
-                 out_specs=P("data"))
-    try:  # jax >= 0.9 stable API
-        return jax.shard_map(core, mesh=mesh, check_vma=False, **specs)
-    except (AttributeError, TypeError):
-        from jax.experimental.shard_map import shard_map
+    from ..parallel.mesh import maybe_shard_map_data
 
-        return shard_map(core, mesh=mesh, check_rep=False, **specs)
+    return maybe_shard_map_data(
+        core, rows, granule,
+        in_specs=(P("data"), P(), P(), P(), P()), out_specs=P("data"))
 
 
 def _sharded_core(m: int, granule: int = 1):

@@ -316,29 +316,16 @@ def _sharded_core(pairs: int, granule: int):
     one image (windows_per_image x head-groups), and callers must pass the
     TRUE window count — not the mask's leading dim, which collapses to 1 for
     unshifted blocks. Whole-image shards keep the kernel's modular bias
-    indexing aligned AND keep the surrounding partitioner sane: mid-image
-    shards let GSPMD propagate a split along the reshaped image dims, which
-    was observed to double a downstream conv weight-gradient (batch 2, 8
-    devices, packed stage-0 — tests/test_sharding.py regression). Fall back
-    to the unsharded core when shards would not be whole images."""
-    from ..parallel.mesh import attention_mesh
-
-    mesh = attention_mesh()
-    if mesh is None:
-        return _attention_core
-    n_data = mesh.shape["data"]
-    if pairs % (n_data * granule) != 0:
-        return _attention_core
+    indexing aligned AND keep the surrounding partitioner sane (see
+    parallel.mesh.maybe_shard_map_data for the failure mode)."""
     from jax.sharding import PartitionSpec as P
 
-    specs = dict(in_specs=(P("data"), P("data"), P("data"), P(), P()),
-                 out_specs=P("data"))
-    try:  # jax >= 0.9 stable API (check_rep renamed to check_vma)
-        return jax.shard_map(_attention_core, mesh=mesh, check_vma=False, **specs)
-    except (AttributeError, TypeError):
-        from jax.experimental.shard_map import shard_map
+    from ..parallel.mesh import maybe_shard_map_data
 
-        return shard_map(_attention_core, mesh=mesh, check_rep=False, **specs)
+    return maybe_shard_map_data(
+        _attention_core, pairs, granule,
+        in_specs=(P("data"), P("data"), P("data"), P(), P()),
+        out_specs=P("data"))
 
 
 def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd",

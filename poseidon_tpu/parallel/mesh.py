@@ -176,3 +176,30 @@ def attention_mesh() -> Optional[Mesh]:
     if m is not None and m.shape.get("data", 1) > 1:
         return m
     return None
+
+
+def maybe_shard_map_data(core, rows: int, granule: int, in_specs, out_specs):
+    """shard_map ``core`` over the active attention mesh's data axis, or
+    return it unchanged when no >1-device data mesh is active or when the
+    shards would not be whole images.
+
+    ``rows`` is the leading-dim size of the data-sharded operands and
+    ``granule`` the number of rows belonging to ONE image. Whole-image
+    shards are mandatory: mid-image shards let the surrounding GSPMD
+    partitioner propagate the split through downstream reshapes, which was
+    observed to corrupt a conv weight gradient (exactly 2x) with a correct
+    forward — see tests/test_sharding.py::TestWholeImageShardGuard.
+    shard_map's reverse-mode psums the cotangents of replicated operands."""
+    import jax
+
+    mesh = attention_mesh()
+    if mesh is None or rows % (mesh.shape["data"] * granule) != 0:
+        return core
+    try:  # jax >= 0.9 stable API (check_rep renamed to check_vma)
+        return jax.shard_map(core, mesh=mesh, check_vma=False,
+                             in_specs=in_specs, out_specs=out_specs)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(core, mesh=mesh, check_rep=False,
+                         in_specs=in_specs, out_specs=out_specs)

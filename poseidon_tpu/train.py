@@ -181,8 +181,14 @@ def main(argv=None):
     np.random.seed(SEED)
     config = load_config(params)
     run, sweep_id, run_name = wandb_setup(params, config)
-    if "model_name" in config and config["model_name"] in MODEL_MAP:
+    if "model_name" in config:
         # MODEL_MAP merge + W&B config mirror (reference train.py:171-177).
+        # An unknown name must fail loudly — silently skipping the merge
+        # would train whatever stale dims the config happens to carry.
+        if config["model_name"] not in MODEL_MAP:
+            raise KeyError(
+                f"unknown model_name {config['model_name']!r}; "
+                f"expected one of {sorted(MODEL_MAP)}")
         config = {**config, **MODEL_MAP[config["model_name"]]}
         if run is not None:
             run.config.update(MODEL_MAP[config["model_name"]],

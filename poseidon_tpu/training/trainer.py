@@ -493,10 +493,14 @@ class Trainer:
         if self.compute_metrics is None:
             return {}
         if preds.ndim == labels.ndim + 1:
-            out = dict(self.compute_metrics(preds[:, -1], labels))
+            out = {}
+            last = preds.shape[1] - 1
             for si in range(preds.shape[1]):
-                for k, v in self.compute_metrics(preds[:, si], labels).items():
+                step_metrics = self.compute_metrics(preds[:, si], labels)
+                for k, v in step_metrics.items():
                     out[f"ar_step_{si}/{k}"] = v
+                if si == last:  # final step doubles as the unprefixed battery
+                    out.update(step_metrics)
             return out
         return dict(self.compute_metrics(preds, labels))
 

@@ -137,3 +137,25 @@ class TestEndToEnd:
             preds, labels, losses = trainer._predict_arrays(ds)
             assert preds.shape == (8, 2, 1, 128, 128)
             assert np.all(np.isfinite(losses))
+
+
+class TestResolveModelPath:
+    def test_prefers_best_then_highest_checkpoint(self, tmp_path, capsys):
+        from poseidon_tpu.inference import _resolve_model_path
+
+        run = tmp_path / "runA"
+        for d in ("checkpoint-1000", "checkpoint-2000"):
+            (run / d).mkdir(parents=True)
+        # numeric, not lexical: checkpoint-2000 beats checkpoint-1000
+        assert _resolve_model_path(str(run)).endswith("checkpoint-2000")
+        assert "WARNING" in capsys.readouterr().out
+        (run / "best").mkdir()
+        assert _resolve_model_path(str(run)).endswith("best")
+        # native save layout: the run dir itself
+        (run / "model").mkdir()
+        assert _resolve_model_path(str(run)) == str(run)
+
+    def test_empty_dir(self, tmp_path):
+        from poseidon_tpu.inference import _resolve_model_path
+
+        assert _resolve_model_path(str(tmp_path)) is None

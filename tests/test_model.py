@@ -246,3 +246,71 @@ class TestIntermediatesSurface:
         # plain apply is unchanged
         np.testing.assert_allclose(np.asarray(pred),
                                    np.asarray(m.apply(v, x, t)), atol=1e-6)
+
+
+class TestIntermediatesGuards:
+    """forward_with_intermediates must raise (not return silently-empty
+    attentions) for configurations whose kernels never materialize the
+    probabilities."""
+
+    def _model_and_inputs(self, **over):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from poseidon_tpu import ScOT, make_config
+
+        kw = dict(image_size=32, patch_size=4, num_channels=3,
+                  num_out_channels=2, embed_dim=16, depths=(2, 2),
+                  num_heads=(2, 2), skip_connections=(1, 0),
+                  window_size=4, mlp_ratio=2.0,
+                  channel_slice_list=(0, 1, 2), use_conditioning=True)
+        kw.update(over)
+        cfg = make_config("T", **kw)
+        m = ScOT(config=cfg)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)),
+                        jnp.float32)
+        t = jnp.asarray([0.3, 0.9])
+        return m, m.init(jax.random.PRNGKey(0), x, t), x, t
+
+    def test_raises_on_pallas(self):
+        import pytest
+        from poseidon_tpu.models.scot import forward_with_intermediates
+
+        m, v, x, t = self._model_and_inputs(attention_impl="pallas")
+        with pytest.raises(ValueError, match="attention_impl"):
+            forward_with_intermediates(m, v, x, t)
+
+    def test_natural_block_order_depth_11(self):
+        """Stages of depth >= 11 must come back in numeric block order
+        (a lexical tiebreak puts block_10 before block_2)."""
+        from poseidon_tpu.models.scot import forward_with_intermediates
+
+        m, v, x, t = self._model_and_inputs(depths=(11, 1),
+                                            num_heads=(2, 2))
+        import re
+
+        import numpy as np
+        import jax as _jax
+
+        pred, hidden, attn = forward_with_intermediates(m, v, x, t)
+        assert len(attn) == sum((11, 1)) * 2  # encoder + decoder layers
+        # Match each returned leaf back to its sown path by VALUE and check
+        # the encoder stage-0 entries appear as blocks 0..10 in order.
+        _, inter = m.apply(v, x, t, mutable=["intermediates"])
+        flat = _jax.tree_util.tree_flatten_with_path(inter["intermediates"])[0]
+        enc0 = []
+        for p, val in flat:
+            keys = [str(getattr(k, "key", k)) for k in p]
+            path = "/".join(keys)
+            if ("attention_probs" in keys and path.startswith("encoder")
+                    and "stage_0" in path):
+                enc0.append((path, np.asarray(val)))
+        blocks_in_order = []
+        for leaf in attn:
+            leaf = np.asarray(leaf)
+            for path, val in enc0:
+                if val.shape == leaf.shape and np.array_equal(val, leaf):
+                    blocks_in_order.append(
+                        int(re.search(r"block_(\d+)", path).group(1)))
+                    break
+        assert blocks_in_order == list(range(11)), blocks_in_order

@@ -110,3 +110,24 @@ def test_perf_knobs_flow_from_config():
     assert cfg.scan_blocks is True
     cfg = train.build_model_config(dict(base), _DS(), time_involved=True)
     assert cfg.attention_impl == "xla" and cfg.scan_blocks is False
+
+
+def test_unknown_model_name_raises(tmp_path):
+    """A typo'd model_name must fail loudly, not silently skip the
+    MODEL_MAP merge and train stale dims."""
+    import json
+
+    import pytest
+
+    cfg = dict(dataset="reaction_diffusion.AllenCahn", num_trajectories=8,
+               model_name="b", lr=1e-4, weight_decay=1e-6,
+               lr_scheduler="cosine", warmup_ratio=0.0,
+               early_stopping_patience=10, num_epochs=1, batch_size=4,
+               max_grad_norm=5.0)
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(cfg))
+    with pytest.raises(KeyError, match="model_name"):
+        train.main([
+            "--config", str(p), "--data_path", str(tmp_path),
+            "--checkpoint_path", str(tmp_path / "ckpt"),
+        ])
