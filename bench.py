@@ -21,35 +21,34 @@ import numpy as np
 def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
     """Block until the TPU backend answers a trivial computation.
 
-    The remote ("axon") tunnel occasionally reports UNAVAILABLE for minutes
-    at a time (observed outages up to ~1 h); the driver runs this script
-    unattended, so ride out transient outages instead of dying on the first
-    device op."""
+    The remote ("axon") tunnel occasionally goes UNAVAILABLE for extended
+    stretches (observed outages of several hours) and a probe from inside
+    this process can HANG instead of raising — so probe from a killable
+    SUBPROCESS with a hard timeout, and only touch the in-process backend
+    once a probe has succeeded. The driver runs this script unattended."""
+    import subprocess
     import sys
 
-    import jax
-    import jax.numpy as jnp
-
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((8, 8)))))")
     deadline = time.perf_counter() + max_wait_s
     delay = 30.0
     while True:
         try:
-            float(jnp.sum(jnp.ones((8, 8))))
-            return
-        except Exception as e:  # backend init/compile unavailable
-            if time.perf_counter() >= deadline:
-                raise
-            print(f"# TPU backend unavailable ({type(e).__name__}); "
-                  f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
-            time.sleep(delay)
-            delay = min(delay * 1.5, 180.0)
-            # a failed init is cached per-process; clear the backend
-            # registry so the next attempt re-dials the tunnel
-            try:
-                from jax.extend.backend import clear_backends
-                clear_backends()
-            except Exception:
-                jax.clear_caches()
+            r = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+            reason = (r.stderr or b"").decode()[-200:].strip()
+        except subprocess.TimeoutExpired:
+            reason = "probe hung >120s"
+        if time.perf_counter() >= deadline:
+            raise RuntimeError(f"TPU backend unreachable for {max_wait_s:.0f}s "
+                               f"(last: {reason})")
+        print(f"# TPU backend unavailable ({reason or 'nonzero exit'}); "
+              f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(delay)
+        delay = min(delay * 1.5, 180.0)
 
 
 def main():
