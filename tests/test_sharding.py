@@ -184,3 +184,31 @@ class TestWholeImageShardGuard:
             num_train_epochs=1, report_to="none")
         Trainer(ScOT(config=cfg), args, train_dataset=None, eval_dataset=None)
         assert get_mesh() is None
+
+    def test_fused_cln_tail_grads_match_under_mesh(self):
+        """The knob-gated fused MLP+CLN tail shard-maps over B directly;
+        its gradients must match the unfused path on an actively-sharded
+        8-image batch."""
+        from poseidon_tpu import ScOT, make_config
+        from poseidon_tpu.parallel.mesh import attention_mesh_scope, make_mesh
+
+        kw = dict(image_size=32, patch_size=4, num_channels=3,
+                  num_out_channels=2, embed_dim=64, depths=(1, 1),
+                  num_heads=(8, 8), skip_connections=(1, 0), window_size=4,
+                  mlp_ratio=2.0, channel_slice_list=(0, 1, 2),
+                  use_conditioning=True, attention_impl="pallas")
+        cfg_ref = make_config("T", **kw)
+        cfg_cln = cfg_ref.replace(fused_block_tail=True)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(8, 3, 32, 32)), jnp.float32)
+        t = jnp.linspace(0.1, 0.9, 8)
+        variables = ScOT(config=cfg_ref).init(jax.random.PRNGKey(0),
+                                              x[:1], t[:1])
+        with attention_mesh_scope(make_mesh()):
+            g_ref = self._grads(cfg_ref, variables, x, t)
+            g_cln = self._grads(cfg_cln, variables, x, t)
+        for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                                jax.tree_util.tree_leaves(g_cln)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-3, rtol=1e-2,
+                err_msg=jax.tree_util.keystr(path))
