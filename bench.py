@@ -134,12 +134,15 @@ def main():
     print(f"# compile done in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
     try:
         if scan_len > 0:
-            # XLA cost_analysis counts a lax.scan body ONCE (verified:
-            # a 10-iteration scanned matmul reports the same flops as a
-            # single one), so analyze a lowered (uncompiled — no second
-            # remote compile) single step instead of the scan.
-            single = jax.jit(train_step).lower(params, opt_state, x, t, labels)
-            flops_per_step = float(single.cost_analysis()["flops"])
+            # Neither the compiled scan's cost_analysis (counts the body
+            # once for a plain matmul but 1.5x-ish for the full step) nor a
+            # lowered pre-optimization analysis (undercounts ~5x) gives
+            # trustworthy per-step flops, and compiling the single step just
+            # for accounting costs a second multi-minute remote compile.
+            # Scan mode is a step-TIME A/B diagnostic: take the flops from
+            # BENCH_FLOPS (e.g. the value a scan_len=0 run printed) or
+            # report MFU as null.
+            flops_per_step = float(os.environ.get("BENCH_FLOPS", "nan"))
         else:
             flops_per_step = float(compiled.cost_analysis()["flops"])
     except Exception:
