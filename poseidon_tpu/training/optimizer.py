@@ -142,15 +142,17 @@ def build_flat_optimizer(
 ) -> optax.GradientTransformation:
     """AdamW with the same 4-group semantics as :func:`build_optimizer`, but
     with the Adam moments held as ONE flat f32 vector and the whole update as
-    one fused elementwise pass.
+    one fused elementwise pass. Numerically identical to the optax chain
+    (unit-tested); per-group learning rate and weight decay become a
+    (n_params,) uint8 group-id gather into two 4-entry tables.
 
-    optax.multi_transform emits one small fused loop per parameter LEAF
-    (~300 for ScOT-B); on the TPU that cost ~4.4 ms/step plus thousands of
-    tiny async copies whose DMA traffic contends with the Pallas kernels
-    (r3 trace). Here the per-group learning rate and weight decay become a
-    (n_params,) uint8 group-id gather into two 4-entry tables, the schedule
-    is the shared unit-peak factor, and clip/Adam/decay run on the raveled
-    vector — numerically identical to the optax chain (unit-tested).
+    NOT the production path: on the r3 ScOT-B b96 traces this measures
+    ~29 ms/step of optimizer ops vs ~6.6 ms for the per-leaf optax chain
+    (wall 170.2 vs 147.9 ms) — ravel_pytree of grads AND params, the
+    unravel of the updates, and optax.apply_updates' separate add are ~6
+    extra full HBM sweeps over the 157.7M-param state, which dwarf the ~300
+    per-leaf fused loops they replace. Kept as an opt-in A/B
+    (TrainingArguments.optimizer_impl="flat" / BENCH_OPT=flat).
     """
     import jax.numpy as jnp
     from jax.flatten_util import ravel_pytree

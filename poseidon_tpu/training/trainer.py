@@ -110,13 +110,17 @@ class Trainer:
         a = self.args
         total_steps = (self._steps_per_epoch() * a.num_train_epochs
                        if self.train_dataset is not None else 1)
-        # Pure data-parallel meshes (params replicated) take the flat-buffer
-        # AdamW: one fused update pass instead of ~300 per-leaf loops (the
-        # per-leaf form cost ~3 ms/step + thousands of small async copies on
-        # the r3 traces). Under FSDP (model>1) the moments must mirror the
-        # per-leaf param shardings, so the grouped optax chain stays.
-        builder = (build_flat_optimizer
-                   if self.mesh.shape.get("model", 1) == 1 else build_optimizer)
+        # The grouped optax chain is the default everywhere: the flat-buffer
+        # AdamW's ravel_pytree of grads+params, unravel of updates, and
+        # separate apply pass cost ~6 extra full HBM sweeps over the param
+        # state — measured +23 ms/step at ScOT-B b96 on v5e (170.2 vs
+        # 147.9 ms wall), dwarfing the ~300 per-leaf loops it removes. It
+        # stays available as an opt-in (args.optimizer_impl="flat", pure-DP
+        # meshes only: under FSDP the moments must mirror the per-leaf param
+        # shardings).
+        use_flat = (getattr(self.args, "optimizer_impl", "grouped") == "flat"
+                    and self.mesh.shape.get("model", 1) == 1)
+        builder = build_flat_optimizer if use_flat else build_optimizer
         tx = builder(
             variables["params"],
             learning_rate=a.learning_rate,
