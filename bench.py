@@ -65,14 +65,17 @@ def main():
     enable_compilation_cache()
     _wait_for_backend()
 
-    # Best measured config (round 2): unrolled stages, fused D-major Pallas
-    # attention (fwd + recompute-bwd — no probability stash, so batch 96
+    # Best measured config (round 3): unrolled stages, fused D-major Pallas
+    # attention (fwd + recompute-bwd — no probability stash, so large batch
     # scales where the XLA path thrashes HBM), fused QKV, slice-based CPB,
-    # bf16 compute, per-chip batch 96.
+    # bf16 compute, per-chip batch 128 (the step is device-bound; the bigger
+    # batch amortizes the ~5 ms/step host+tunnel dispatch overhead better
+    # than b96 at the same device-side samples/s: 190.9 ms = 670.6 samples/s
+    # vs 649 at b96, measured on an idle host).
     # Progression: 167 (initial) -> 317 (fused QKV) -> 404 (slice CPB) ->
-    # 468 (folded scale) -> 568 (bf16 scores, b48) -> 633 samples/s
-    # (D-major pallas attention, b96).
-    batch = int(os.environ.get("BENCH_BATCH", "96"))
+    # 468 (folded scale) -> 568 (bf16 scores, b48) -> 633 (D-major pallas
+    # attention, b96) -> 649 (fused pallas MLP) -> 670.6 samples/s (b128).
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     size = os.environ.get("BENCH_MODEL", "B")  # T/S/B/L (B = metric of record)
     cfg = make_config(size, image_size=128, num_channels=4, num_out_channels=4,
                       channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
