@@ -2,11 +2,17 @@
 
 Measures the full training step (fwd + bwd + AdamW with the 4-group optimizer,
 bf16 compute / fp32 params) on the flagship configuration — ScOT-B, 128x128,
-4-channel NS-style input, per-chip batch 96 — and prints ONE JSON line:
+4-channel NS-style input, per-chip batch 128 (BENCH_BATCH to override) — and
+prints ONE JSON line:
   {"metric": ..., "value": samples/sec, "unit": ..., "vs_baseline": ...}
 
 vs_baseline reports measured model FLOP utilization (MFU) relative to the
 45%-MFU north-star target from BASELINE.md (vs_baseline = MFU / 0.45).
+
+The ``extra`` dict additionally carries the compile time (cold vs warm
+persistent-cache story) and a ScOT-L measurement (``extra.scot_l``) so the
+family-scaling claim (MFU tracks contraction width) is regression-tracked
+every round. Set BENCH_SKIP_L=1 to skip the L entry.
 """
 
 from __future__ import annotations
@@ -51,7 +57,10 @@ def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
         delay = min(delay * 1.5, 180.0)
 
 
-def main():
+def run_bench(size: str, batch: int, scan_len: int) -> dict:
+    """Measure the full ScOT-<size> train step at the given per-chip batch;
+    returns a dict of measurements (step time, samples/s, MFU, compile time).
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -60,23 +69,18 @@ def main():
     from poseidon_tpu.models.scot import apply_pixel_mask
     from poseidon_tpu.training.optimizer import (build_flat_optimizer,
                                                  build_optimizer)
-    from poseidon_tpu.utils.init import enable_compilation_cache, shape_variables
-
-    enable_compilation_cache()
-    _wait_for_backend()
+    from poseidon_tpu.utils.init import shape_variables
 
     # Best measured config (round 3): unrolled stages, fused D-major Pallas
     # attention (fwd + recompute-bwd — no probability stash, so large batch
     # scales where the XLA path thrashes HBM), fused QKV, slice-based CPB,
     # bf16 compute, per-chip batch 128 (the step is device-bound; the bigger
     # batch amortizes the ~5 ms/step host+tunnel dispatch overhead better
-    # than b96 at the same device-side samples/s: 190.9 ms = 670.6 samples/s
-    # vs 649 at b96, measured on an idle host).
+    # than b96 at the same device-side samples/s: BENCH_r03 artifact of
+    # record: 192.5 ms = 664.9 samples/s at b128, vs 649 at b96).
     # Progression: 167 (initial) -> 317 (fused QKV) -> 404 (slice CPB) ->
     # 468 (folded scale) -> 568 (bf16 scores, b48) -> 633 (D-major pallas
-    # attention, b96) -> 649 (fused pallas MLP) -> 670.6 samples/s (b128).
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    size = os.environ.get("BENCH_MODEL", "B")  # T/S/B/L (B = metric of record)
+    # attention, b96) -> 649 (fused pallas MLP) -> 664.9 samples/s (b128).
     cfg = make_config(size, image_size=128, num_channels=4, num_out_channels=4,
                       channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
                       score_dtype="bfloat16", attention_impl="pallas")
@@ -116,13 +120,12 @@ def main():
         params2 = optax.apply_updates(params, updates)
         return params2, opt_state2, loss
 
-    # BENCH_SCAN=K > 0 runs K steps inside ONE jit via lax.scan (same batch
+    # scan_len > 0 runs K steps inside ONE jit via lax.scan (same batch
     # each step — throughput does not depend on data values). This removes
     # every per-step host round trip through the remote tunnel (step
     # dispatch AND per-custom-call dispatch, measured at 0-20 ms/step
     # load-dependent), i.e. it measures true device throughput the way a
     # production host with local chips would see it.
-    scan_len = int(os.environ.get("BENCH_SCAN", "0"))
     if scan_len > 0:
         def train_scan(params, opt_state, x, t, labels):
             def body(carry, _):
@@ -141,9 +144,11 @@ def main():
     import sys
 
     t0 = time.perf_counter()
-    print(f"# lowering+compiling train step...", file=sys.stderr, flush=True)
+    print(f"# lowering+compiling ScOT-{size} train step...", file=sys.stderr,
+          flush=True)
     compiled = step.lower(params, opt_state, x, t, labels).compile()
-    print(f"# compile done in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    compile_s = time.perf_counter() - t0
+    print(f"# compile done in {compile_s:.1f}s", file=sys.stderr, flush=True)
     try:
         if scan_len > 0:
             # Neither the compiled scan's cost_analysis (counts the body
@@ -190,25 +195,65 @@ def main():
     peak = tpu_spec(dev).peak_bf16_flops
     kind = getattr(dev, "device_kind", "unknown")
     mfu = (flops_per_step / step_time) / peak if np.isfinite(flops_per_step) else float("nan")
-    vs_baseline = mfu / 0.45 if np.isfinite(mfu) else 0.0
 
+    return {
+        "samples_per_sec": samples_per_sec,
+        "step_time_ms": round(step_time * 1e3, 2),
+        "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
+        "flops_per_step": flops_per_step,
+        "batch": batch,
+        "model": size,
+        "scan_len": scan_len,
+        "compile_s": round(compile_s, 1),
+        "device": str(kind),
+        "loss": float(loss),
+    }
+
+
+def main():
+    from poseidon_tpu.utils.init import enable_compilation_cache
+
+    enable_compilation_cache()
+    _wait_for_backend()
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    size = os.environ.get("BENCH_MODEL", "B")  # T/S/B/L (B = metric of record)
+    scan_len = int(os.environ.get("BENCH_SCAN", "0"))
+
+    res = run_bench(size, batch, scan_len)
+    mfu = res["mfu"]
+    extra = {
+        "step_time_ms": res["step_time_ms"],
+        "mfu": mfu,
+        "flops_per_step": res["flops_per_step"],
+        "batch": batch,
+        "model": size,
+        "scan_len": scan_len,
+        "compile_s": res["compile_s"],
+        "device": res["device"],
+        "score_dtype": "bfloat16",
+        "attention_impl": "pallas",
+        "loss": res["loss"],
+    }
+
+    # Second, non-headline entry: ScOT-L (same code, wider contractions —
+    # BASELINE.md's family-scaling claim) tracked as an artifact each round.
+    if size == "B" and scan_len == 0 and not os.environ.get("BENCH_SKIP_L"):
+        l_batch = int(os.environ.get("BENCH_L_BATCH", "64"))
+        try:
+            l_res = run_bench("L", l_batch, 0)
+            l_res["samples_per_sec"] = round(l_res["samples_per_sec"], 3)
+            extra["scot_l"] = l_res
+        except Exception as e:  # the L entry must never sink the B metric
+            extra["scot_l"] = {"error": f"{type(e).__name__}: {e}"}
+
+    vs_baseline = mfu / 0.45 if mfu is not None else 0.0
     print(json.dumps({
         "metric": "samples_per_sec_per_chip_scot_b_pretrain",
-        "value": round(samples_per_sec, 3),
+        "value": round(res["samples_per_sec"], 3),
         "unit": "samples/s",
         "vs_baseline": round(vs_baseline, 4),
-        "extra": {
-            "step_time_ms": round(step_time * 1e3, 2),
-            "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
-            "flops_per_step": flops_per_step,
-            "batch": batch,
-            "model": size,
-            "scan_len": scan_len,
-            "device": str(kind),
-            "score_dtype": "bfloat16",
-            "attention_impl": "pallas",
-            "loss": float(loss),
-        },
+        "extra": extra,
     }))
 
 

@@ -107,8 +107,15 @@ class DataLoader:
             local_valid = int(np.clip(valid - lo_v, 0, self.local_batch))
             yield local, local_valid, valid
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield host-local batches for one epoch, with background prefetch."""
+    def epoch(self, epoch: int = 0,
+              start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield host-local batches for one epoch, with background prefetch.
+
+        ``start_batch`` skips the first N batches WITHOUT reading their data
+        (index lists are pure numpy slicing) — the loader-position half of
+        step-granular resume: iteration order is deterministic given
+        (seed, epoch), so batch ``start_batch`` here is bit-identical to the
+        one an uninterrupted run would have seen."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         SENTINEL = object()
@@ -116,9 +123,12 @@ class DataLoader:
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for local_idx, valid, valid_global in self._batch_index_lists(epoch):
+                    for bnum, (local_idx, valid, valid_global) in enumerate(
+                            self._batch_index_lists(epoch)):
                         if stop.is_set():
                             return
+                        if bnum < start_batch:
+                            continue
                         samples = list(pool.map(self.dataset.__getitem__, local_idx))
                         batch = _collate(samples)
                         batch["_valid"] = np.int32(valid)

@@ -486,6 +486,41 @@ def export_torch_state_dict(params: dict, cfg: ScOTConfig,
     return {k: np.asarray(v, np.float32) for k, v in out.items()}
 
 
+def unroll_scanned_params(params: dict, cfg: ScOTConfig) -> dict:
+    """Bridge the scanned param layout (``stage_i_pairs`` with a leading
+    pair axis, ``config.scan_blocks=True``) to the unrolled layout
+    (``stage_i_block_j``) of the SAME weights, flax-to-flax.
+
+    Scanned pair ``p`` holds executed blocks ``2p`` (block_a) and ``2p+1``
+    (block_b) — for the encoder and the decoder alike, since block names
+    follow EXECUTION order in both (models/scot.py:321-337, 379-398).
+    Non-pair entries (downsample/upsample, odd-depth unrolled stages) pass
+    through unchanged. Returns a new tree; the input is not mutated.
+    """
+    import re as _re
+
+    import jax
+
+    out = dict(params)
+    for section in ("encoder", "decoder"):
+        if section not in params:
+            continue
+        node = dict(params[section])
+        for key in list(node):
+            m = _re.fullmatch(r"stage_(\d+)_pairs", key)
+            if m is None:
+                continue
+            pairs = node.pop(key)
+            i = int(m.group(1))
+            for p in range(cfg.depths[i] // 2):
+                node[f"stage_{i}_block_{2 * p}"] = jax.tree.map(
+                    lambda a, _p=p: a[_p], pairs["block_a"])
+                node[f"stage_{i}_block_{2 * p + 1}"] = jax.tree.map(
+                    lambda a, _p=p: a[_p], pairs["block_b"])
+        out[section] = node
+    return out
+
+
 def save_pretrained(save_dir: str, params: dict, cfg: ScOTConfig,
                     batch_stats: Optional[dict] = None) -> None:
     """Write a reference-compatible checkpoint directory (model.safetensors +

@@ -207,7 +207,27 @@ def main(argv=None):
     train_ds, val_ds = setup_datasets(config, params)
     time_involved = is_time_involved(train_ds)
 
-    model_config = build_model_config(config, train_ds, time_involved)
+    if params.finetune_from is not None and not params.replace_embedding_recovery:
+        # Reference semantics (train.py:273-275, 330-335): WITHOUT
+        # --replace_embedding_recovery the checkpoint's OWN config is used
+        # verbatim (the reference passes config=None to from_pretrained) —
+        # no dataset-shaped surgery; a channel mismatch with the dataset
+        # fails loudly downstream instead of silently re-initializing the
+        # embedding/recovery tensors. Only the TPU execution knobs (which
+        # never change the computed function or — except scan_blocks,
+        # handled by the hub bridge — the param tree) come from the run
+        # config.
+        from .hub import load_config as load_ckpt_config
+        from .hub import resolve_model_path
+
+        ckpt_cfg = load_ckpt_config(resolve_model_path(params.finetune_from))
+        model_config = ckpt_cfg.replace(
+            attention_impl=config.get("attention_impl", ckpt_cfg.attention_impl),
+            score_dtype=config.get("score_dtype", ckpt_cfg.score_dtype),
+            scan_blocks=bool(config.get("scan_blocks", ckpt_cfg.scan_blocks)),
+        )
+    else:
+        model_config = build_model_config(config, train_ds, time_involved)
 
     # ``batch_size`` in the config is PER-DEVICE, as in the reference
     # (train.py:280 passes it to per_device_train_batch_size under accelerate);
@@ -245,9 +265,14 @@ def main(argv=None):
     if params.finetune_from is not None:
         from .hub import from_pretrained
 
+        # ignore_mismatched_sizes only with --replace_embedding_recovery: the
+        # no-flag path carries the checkpoint's own config, so any mismatch
+        # is a real error and must raise (reference train.py:330-335 passes
+        # ignore_mismatched_sizes=True but with config=None there is nothing
+        # to mismatch against).
         _, variables, replaced = from_pretrained(
             params.finetune_from, config=model_config,
-            ignore_mismatched_sizes=True)
+            ignore_mismatched_sizes=params.replace_embedding_recovery)
         if is_primary() and replaced:
             print(f"Re-initialized {len(replaced)} mismatched tensors "
                   f"(embedding/recovery replacement)")

@@ -38,6 +38,13 @@ class TrainingArguments:
     # for tiny epochs where orbax saves dominate wall time).
     eval_every_epochs: int = 1
     save_every_epochs: int = 1
+    # Additionally checkpoint every N optimizer steps WITHIN an epoch
+    # (step-granular resume — HF's resume_from_checkpoint restores mid-epoch
+    # too, reference train.py:409 via the HF Trainer). None = epoch-boundary
+    # checkpoints only. Resuming from a mid-epoch checkpoint reproduces the
+    # uninterrupted run bit-for-bit (deterministic loader + per-step rng
+    # folded from the global step).
+    save_steps: Optional[int] = None
     save_total_limit: int = 1
     load_best_model_at_end: bool = True
     metric_for_best_model: str = "loss"

@@ -348,13 +348,13 @@ class Trainer:
             drop_last=True, num_hosts=process_count(), host_id=process_index(),
             num_workers=a.num_workers)
 
-        start_epoch = 0
+        start_epoch, start_batch = 0, 0
         best_metric = np.inf if not a.greater_is_better else -np.inf
         patience_left = a.early_stopping_patience
         if resume_from_checkpoint:
             restored = self.load_checkpoint(a.output_dir)
             if restored is not None:
-                start_epoch, best_metric = restored
+                start_epoch, best_metric, start_batch = restored
 
         train_step = self._jitted("train", self._train_step, donate_argnums=(0,))
         steps_per_epoch = self._steps_per_epoch()
@@ -364,16 +364,23 @@ class Trainer:
         stop = False
         for epoch in range(start_epoch, a.num_train_epochs):
             t_epoch = _time.time()
-            # Reset the device-side epoch loss accumulator (one H2D transfer).
-            self.state = self.state.replace(loss_sum=jnp.zeros((), jnp.float32))
-            n_running = 0
+            resume_bi = start_batch if epoch == start_epoch else 0
+            if resume_bi == 0:
+                # Reset the device-side epoch loss accumulator (one H2D
+                # transfer). On mid-epoch resume the restored accumulator
+                # (and its count) carries over instead.
+                self.state = self.state.replace(loss_sum=jnp.zeros((), jnp.float32))
+            n_running = resume_bi
             # Logging is DELAYED one window: at each logging point we fetch the
             # metrics recorded at the PREVIOUS one (long since computed — zero
             # pipeline stall) and enqueue the current step's device scalars.
             # The old per-step float(metrics["loss"]) host sync serialized
             # dispatch and hid all data-loading overlap.
             pending_log = None
-            for bi, (_, dbatch) in enumerate(self._device_prefetch(loader.epoch(epoch))):
+            for bi, (_, dbatch) in enumerate(
+                    self._device_prefetch(
+                        loader.epoch(epoch, start_batch=resume_bi)),
+                    start=resume_bi):
                 global_step = epoch * steps_per_epoch + bi
                 self._maybe_profile(global_step)
                 rng = jax.random.fold_in(self.rng, global_step)
@@ -384,6 +391,12 @@ class Trainer:
                         self._flush_step_log(pending_log)
                     pending_log = {"epoch": epoch, "step": global_step + 1,
                                    "metrics": metrics}
+                if (a.save_steps is not None and (bi + 1) % a.save_steps == 0
+                        and bi + 1 < steps_per_epoch):
+                    # Mid-epoch (step-granular) checkpoint; the boundary save
+                    # below covers the final batch.
+                    self.save_checkpoint(a.output_dir, epoch, best_metric,
+                                         batch_index=bi + 1)
             if pending_log is not None:
                 self._flush_step_log(pending_log)
 
@@ -537,40 +550,66 @@ class Trainer:
         return out
 
     # -- checkpointing ------------------------------------------------------
-    def _ckpt_tree(self, epoch: int, best_metric: float):
+    def _ckpt_tree(self, epoch: int, best_metric: float, batch_index: int = 0):
         return {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
+            # Epoch-running loss accumulator: restored on mid-epoch resume so
+            # the epoch's train_loss matches the uninterrupted run exactly.
+            "loss_sum": (self.state.loss_sum if self.state.loss_sum is not None
+                         else jnp.zeros((), jnp.float32)),
             "batch_stats": (self.state.batch_stats
                             if self.state.batch_stats is not None else {}),
-            "meta": {"epoch": jnp.asarray(epoch), "best": jnp.asarray(best_metric)},
+            "meta": {"epoch": jnp.asarray(epoch),
+                     "best": jnp.asarray(best_metric),
+                     # 0 = epoch complete; >0 = optimizer steps already taken
+                     # in THIS epoch (mid-epoch checkpoint).
+                     "batch_index": jnp.asarray(batch_index)},
         }
 
+    @staticmethod
+    def _ckpt_sort_key(name: str):
+        """Order checkpoint dirs chronologically: within an epoch, mid-epoch
+        ``checkpoint-E-stepN`` precede the boundary ``checkpoint-E``."""
+        parts = name.split("-")
+        epoch = int(parts[1])
+        step = int(parts[2][4:]) if len(parts) > 2 else np.inf
+        return (epoch, step)
+
     def save_checkpoint(self, out_dir: str, epoch: int, best_metric: float,
-                        best: bool = False):
+                        best: bool = False, batch_index: int = 0):
         import orbax.checkpoint as ocp
 
-        name = "best" if best else f"checkpoint-{epoch}"
+        if best:
+            name = "best"
+        elif batch_index > 0:
+            name = f"checkpoint-{epoch}-step{batch_index}"
+        else:
+            name = f"checkpoint-{epoch}"
         path = os.path.abspath(os.path.join(out_dir, name))
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, self._ckpt_tree(epoch, best_metric), force=True)
+            ckptr.save(path, self._ckpt_tree(epoch, best_metric, batch_index),
+                       force=True)
         if not best and is_primary():
-            # save_total_limit: drop older epoch checkpoints
+            # save_total_limit: drop older checkpoints (epoch or step)
             keep = self.args.save_total_limit
             cks = sorted(
                 (d for d in os.listdir(out_dir) if d.startswith("checkpoint-")),
-                key=lambda d: int(d.split("-")[1]))
+                key=self._ckpt_sort_key)
             for d in cks[:-keep] if keep else []:
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
 
     def load_checkpoint(self, out_dir: str):
+        """Restore the latest checkpoint. Returns ``(start_epoch, best_metric,
+        start_batch)`` — ``start_batch > 0`` means resume MID-epoch at that
+        batch index of ``start_epoch`` (step-granular resume)."""
         import orbax.checkpoint as ocp
 
         cks = sorted(
             (d for d in os.listdir(out_dir) if d.startswith("checkpoint-"))
             if os.path.isdir(out_dir) else [],
-            key=lambda d: int(d.split("-")[1]))
+            key=self._ckpt_sort_key)
         if not cks:
             return None
         path = os.path.abspath(os.path.join(out_dir, cks[-1]))
@@ -578,11 +617,14 @@ class Trainer:
             restored = ckptr.restore(path, item=self._ckpt_tree(0, np.inf))
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
-            step=restored["step"],
+            step=restored["step"], loss_sum=restored["loss_sum"],
             batch_stats=(restored["batch_stats"] or None))
-        epoch = int(restored["meta"]["epoch"]) + 1
+        epoch = int(restored["meta"]["epoch"])
         best = float(restored["meta"]["best"])
-        return epoch, best
+        batch_index = int(restored["meta"].get("batch_index", 0))
+        if batch_index > 0:
+            return epoch, best, batch_index
+        return epoch + 1, best, 0
 
     def _load_best(self, out_dir: str):
         import orbax.checkpoint as ocp

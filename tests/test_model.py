@@ -249,9 +249,10 @@ class TestIntermediatesSurface:
 
 
 class TestIntermediatesGuards:
-    """forward_with_intermediates must raise (not return silently-empty
-    attentions) for configurations whose kernels never materialize the
-    probabilities."""
+    """forward_with_intermediates must transparently retrace configurations
+    whose production kernels never materialize the probabilities (pallas
+    attention, scanned stages) with an xla/unrolled inspection twin — never
+    return silently-empty attentions (VERDICT r3 item 8)."""
 
     def _model_and_inputs(self, **over):
         import numpy as np
@@ -272,13 +273,31 @@ class TestIntermediatesGuards:
         t = jnp.asarray([0.3, 0.9])
         return m, m.init(jax.random.PRNGKey(0), x, t), x, t
 
-    def test_raises_on_pallas(self):
-        import pytest
+    def test_pallas_config_retraces_with_xla(self):
+        import numpy as np
         from poseidon_tpu.models.scot import forward_with_intermediates
 
-        m, v, x, t = self._model_and_inputs(attention_impl="pallas")
-        with pytest.raises(ValueError, match="attention_impl"):
-            forward_with_intermediates(m, v, x, t)
+        m, v, x, t = self._model_and_inputs(attention_impl="pallas",
+                                            score_dtype="float32")
+        pred, hidden, attn = forward_with_intermediates(m, v, x, t)
+        assert len(hidden) == 4 and len(attn) == 8
+        probs = np.asarray(attn[0])
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+        # The inspection twin computes the same function (pallas == xla
+        # parity is covered at kernel level; here fp32 end-to-end).
+        np.testing.assert_allclose(np.asarray(pred), np.asarray(m.apply(v, x, t)),
+                                   atol=2e-5)
+
+    def test_scanned_config_bridges_params(self):
+        import numpy as np
+        from poseidon_tpu.models.scot import forward_with_intermediates
+
+        m, v, x, t = self._model_and_inputs(scan_blocks=True)
+        pred, hidden, attn = forward_with_intermediates(m, v, x, t)
+        assert len(hidden) == 4 and len(attn) == 8
+        # Bridged-unrolled forward == scanned forward on the same weights.
+        np.testing.assert_allclose(np.asarray(pred), np.asarray(m.apply(v, x, t)),
+                                   atol=1e-5)
 
     def test_natural_block_order_depth_11(self):
         """Stages of depth >= 11 must come back in numeric block order
