@@ -146,6 +146,11 @@ class WindowAttention(nn.Module):
     # for unshifted blocks) — the fused kernels need it to keep data-mesh
     # shards whole-image aligned.
     windows_per_image: int = 1
+    # D-major I/O (config.dmajor_stream): x is (N, C, T) and the output is
+    # (N, C, T) — the QKV GEMM contracts the sublane axis and the output
+    # projection emits D-major, so the whole block stays in one layout.
+    # Param tree is identical either way.
+    dm_io: bool = False
 
     @nn.compact
     def __call__(
@@ -154,7 +159,10 @@ class WindowAttention(nn.Module):
         mask: Optional[np.ndarray],
         deterministic: bool = True,
     ) -> jax.Array:
-        bnw, t, c = x.shape
+        if self.dm_io:
+            bnw, c, t = x.shape
+        else:
+            bnw, t, c = x.shape
         heads, hd = self.num_heads, self.dim // self.num_heads
         init = normal_init(self.initializer_range)
         dense = functools.partial(
@@ -208,6 +216,9 @@ class WindowAttention(nn.Module):
             # the output orientation into the matmul's layout assignment
             # instead of paying a separate full-tensor relayout copy (the
             # round-2 profile attributed ~16 ms/step to these relayouts).
+            # With dm_io the input already IS D-major: contract the sublane
+            # axis ("nct,cm->nmt").
+            qkv_eq = "nct,cm->nmt" if self.dm_io else "ntc,cm->nmt"
             p = _pick_pack(m.shape[0], heads, t)
             if p > 1:
                 # Small-T stages (2-3) run block-diagonally head-packed in the
@@ -226,7 +237,7 @@ class WindowAttention(nn.Module):
                 w_qkv_p = jnp.concatenate(
                     [perm_cols(wq[0]), perm_cols(wk[0]), perm_cols(wv[0])],
                     axis=1).astype(self.dtype)
-                qkv_T = jnp.einsum("ntc,cm->nmt", x.astype(self.dtype), w_qkv_p)
+                qkv_T = jnp.einsum(qkv_eq, x.astype(self.dtype), w_qkv_p)
                 qT, kT, vT = jnp.split(qkv_T, 3, axis=1)
                 if self.qkv_bias:
                     qb = wq[1].reshape(hp, p, hd).transpose(0, 2, 1).reshape(-1)
@@ -242,7 +253,7 @@ class WindowAttention(nn.Module):
                 wp_k = (wp[0].reshape(hp, p, hd, c).transpose(0, 2, 1, 3)
                         .reshape(c, c))
             else:
-                qkv_T = jnp.einsum("ntc,cm->nmt", x.astype(self.dtype), w_qkv)
+                qkv_T = jnp.einsum(qkv_eq, x.astype(self.dtype), w_qkv)
                 qT, kT, vT = jnp.split(qkv_T, 3, axis=1)
                 if self.qkv_bias:
                     qT = qT + wq[1].astype(qT.dtype)[None, :, None]
@@ -253,14 +264,23 @@ class WindowAttention(nn.Module):
                 out = out.reshape(bnw, c, t)
                 wp_k = wp[0]
             # Project straight out of the D-major world: (N, C, T) @ (C, C)
-            # contracting the sublane axis -> (N, T, C) token-major for the
-            # residual stream; again no explicit relayout copy.
-            out = jnp.einsum("nct,co->nto", out, wp_k.astype(self.dtype)) \
-                + proj_bias.astype(self.dtype)
+            # contracting the sublane axis -> token-major (N, T, C) for the
+            # classic stream, or D-major (N, C', T) when dm_io — either way
+            # no explicit relayout copy.
+            if self.dm_io:
+                out = jnp.einsum("nct,co->not", out, wp_k.astype(self.dtype)) \
+                    + proj_bias.astype(self.dtype)[:, None]
+            else:
+                out = jnp.einsum("nct,co->nto", out, wp_k.astype(self.dtype)) \
+                    + proj_bias.astype(self.dtype)
             if self.proj_drop > 0.0 and not deterministic:
                 out = nn.Dropout(self.proj_drop)(out, deterministic=False)
             return out
 
+        if self.dm_io:
+            # Rare fallback (attention dropout active under dm_io): run the
+            # token-major math between explicit layout conversions.
+            x = jnp.swapaxes(x, 1, 2)
         qkv = jnp.dot(x.astype(self.dtype), w_qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.qkv_bias:
@@ -315,7 +335,7 @@ class WindowAttention(nn.Module):
         out = dense(self.dim, name="proj")(out)
         if self.proj_drop > 0.0 and not deterministic:
             out = nn.Dropout(self.proj_drop)(out, deterministic=False)
-        return out
+        return jnp.swapaxes(out, 1, 2) if self.dm_io else out
 
     def _position_bias(self) -> jax.Array:
         """CPB MLP over the static log-coord table, expanded to (heads, T, T),

@@ -64,16 +64,21 @@ class ConditionalLayerNorm(nn.Module):
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
     initializer_range: float = 0.02
+    # Feature (channel) axis. -1 for the token-major (B, L, C) stream;
+    # 1 for the D-major (B, C, L) stream (config.dmajor_stream) — the fp32
+    # reduction math is identical, only the layout differs.
+    axis: int = -1
 
     @nn.compact
     def __call__(self, x: jax.Array, time: Optional[jax.Array]) -> jax.Array:
         orig_dtype = x.dtype
+        ax = self.axis % x.ndim
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        mean = jnp.mean(xf, axis=ax, keepdims=True)
         # E[x^2] - mean^2 like the reference (model.py:151-152), but clamped:
         # the cancellation can go slightly negative for near-constant features,
         # and rsqrt(negative) would NaN.
-        var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        var = jnp.maximum(jnp.mean(xf * xf, axis=ax, keepdims=True) - mean * mean, 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
 
         t = time.reshape(-1, 1).astype(jnp.float32)
@@ -82,8 +87,11 @@ class ConditionalLayerNorm(nn.Module):
                          bias_init=nn.initializers.zeros, dtype=jnp.float32)(t)
         shift = nn.Dense(self.dim, name="cond_shift", kernel_init=init,
                          bias_init=nn.initializers.zeros, dtype=jnp.float32)(t)
-        # Broadcast (B, C) over any number of middle dims ((B, L, C) or (B, H, W, C)).
-        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.dim,)
+        # Broadcast (B, C) over the non-feature dims ((B, L, C), (B, H, W, C)
+        # or D-major (B, C, L)).
+        bshape = [1] * x.ndim
+        bshape[0] = x.shape[0]
+        bshape[ax] = self.dim
         y = scale.reshape(bshape) * y + shift.reshape(bshape)
         return y.astype(orig_dtype)
 
@@ -116,17 +124,22 @@ class PlainLayerNorm(nn.Module):
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
     initializer_range: float = 0.02  # unused; kept for signature uniformity
+    axis: int = -1  # feature axis (see ConditionalLayerNorm.axis)
 
     @nn.compact
     def __call__(self, x: jax.Array, time: Optional[jax.Array]) -> jax.Array:
         del time
-        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            reduction_axes=self.axis,
+                            feature_axes=self.axis)(x)
 
 
 def make_norm(use_conditioning: bool, dim: int, eps: float, dtype: Dtype,
-              initializer_range: float, name: str):
+              initializer_range: float, name: str, axis: int = -1):
     cls = ConditionalLayerNorm if use_conditioning else PlainLayerNorm
-    return cls(dim=dim, eps=eps, dtype=dtype, initializer_range=initializer_range, name=name)
+    return cls(dim=dim, eps=eps, dtype=dtype, initializer_range=initializer_range,
+               name=name, axis=axis)
 
 
 class PatchEmbed(nn.Module):

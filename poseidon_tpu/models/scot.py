@@ -85,7 +85,11 @@ def fft_upsample(x: jax.Array, target_size: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 class SwinBlock(nn.Module):
-    """One post-norm Swin transformer block on a (B, L, C) token map."""
+    """One post-norm Swin transformer block on a (B, L, C) token map —
+    or, with ``dm=True`` (config.dmajor_stream), on a D-major (B, C, L)
+    map: window partition/reverse, attention I/O, norms, MLP and residual
+    adds all stay in the fused kernels' native layout, so the stream is
+    never relaid out inside a stage."""
 
     config: ScOTConfig
     dim: int
@@ -93,6 +97,7 @@ class SwinBlock(nn.Module):
     resolution: int  # stage token-grid side length
     shifted: bool
     drop_path: float
+    dm: bool = False
     dtype: Dtype = jnp.float32
 
     def _drop_path(self, h: jax.Array, rate_traced, deterministic: bool) -> jax.Array:
@@ -111,6 +116,8 @@ class SwinBlock(nn.Module):
     def __call__(self, x: jax.Array, time: Optional[jax.Array],
                  deterministic: bool = True,
                  drop_path_rate: Optional[jax.Array] = None) -> jax.Array:
+        if self.dm:
+            return self._forward_dm(x, time, deterministic, drop_path_rate)
         cfg = self.config
         h = w = self.resolution
         window = min(cfg.window_size, h)
@@ -220,6 +227,105 @@ class SwinBlock(nn.Module):
         return x + self._drop_path(mlp, drop_path_rate, deterministic)
 
 
+    def _forward_dm(self, x: jax.Array, time: Optional[jax.Array],
+                    deterministic: bool, drop_path_rate) -> jax.Array:
+        """D-major block body: x is (B, C, L); the caller (Encoder/Decoder)
+        guarantees no window padding (h % window == 0) and converts the
+        stream once per stage."""
+        cfg = self.config
+        h = w = self.resolution
+        window = min(cfg.window_size, h)
+        shift = (cfg.window_size // 2) if (self.shifted and h > window) else 0
+        b, c, l = x.shape
+
+        shortcut = x
+        hs = x.reshape(b, c, h, w)
+        if shift > 0:
+            hs = jnp.roll(hs, (-shift, -shift), axis=(2, 3))
+        # D-major window partition: (B, C, H, W) -> (B*nW, C, T); the lane
+        # (minormost) axis stays the spatial one throughout.
+        hs = hs.reshape(b, c, h // window, window, w // window, window)
+        windows = hs.transpose(0, 2, 4, 1, 3, 5).reshape(-1, c, window * window)
+
+        mask = shifted_window_mask(h, w, window, shift)
+        attn_out = WindowAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=window,
+            qkv_bias=cfg.qkv_bias,
+            attn_drop=cfg.attention_probs_dropout_prob,
+            proj_drop=cfg.attention_probs_dropout_prob,
+            dtype=self.dtype,
+            initializer_range=cfg.initializer_range,
+            impl=cfg.attention_impl,
+            score_dtype=jnp.bfloat16 if cfg.score_dtype == "bfloat16" else jnp.float32,
+            windows_per_image=(h // window) * (w // window),
+            dm_io=True,
+            name="attn",
+        )(windows, mask, deterministic)
+
+        hs = attn_out.reshape(b, h // window, w // window, c, window, window)
+        hs = hs.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
+        if shift > 0:
+            hs = jnp.roll(hs, (shift, shift), axis=(2, 3))
+        hs = hs.reshape(b, c, l)
+
+        norm_kw = dict(eps=cfg.layer_norm_eps, dtype=self.dtype,
+                       initializer_range=cfg.initializer_range)
+        hs = make_norm(cfg.use_conditioning, c, name="norm_attn", axis=1,
+                       **norm_kw)(hs, time)
+        x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
+
+        from .attention import _ProjParams
+
+        f = int(cfg.mlp_ratio * c)
+        w1, b1 = _ProjParams(c, f, True, cfg.initializer_range,
+                             name="mlp_fc1")()
+        w2, b2 = _ProjParams(f, c, True, cfg.initializer_range,
+                             name="mlp_fc2")()
+
+        from ..ops.mlp import dm_eligible
+
+        fused_tail = (cfg.fused_block_tail and cfg.use_conditioning
+                      and time is not None
+                      and (cfg.hidden_dropout_prob == 0.0 or deterministic)
+                      and dm_eligible((b, l, c), c, f,
+                                      jnp.dtype(self.dtype).itemsize,
+                                      cln=True))
+        if fused_tail:
+            from ..models.layers import CLNParams
+            from ..ops.mlp import fused_mlp_cln_dm
+
+            ws, wsb, wb, wbb = CLNParams(c, cfg.initializer_range,
+                                         name="norm_mlp")()
+            tcol = time.reshape(-1, 1).astype(jnp.float32)
+            scale = tcol @ ws + wsb
+            shiftv = tcol @ wb + wbb
+            if not deterministic and cfg.drop_path_rate > 0.0:
+                rate = (drop_path_rate if drop_path_rate is not None
+                        else self.drop_path)
+                keep = 1.0 - rate
+                mask_dp = jax.random.bernoulli(self.make_rng("dropout"),
+                                               keep, (b, 1))
+                factor = mask_dp.astype(jnp.float32) / keep
+                scale = scale * factor
+                shiftv = shiftv * factor
+            return fused_mlp_cln_dm(x.astype(self.dtype),
+                                    w1.astype(self.dtype), b1,
+                                    w2.astype(self.dtype), b2, scale, shiftv,
+                                    eps=cfg.layer_norm_eps)
+
+        from ..ops.mlp import fused_mlp_dm
+
+        mlp = fused_mlp_dm(x.astype(self.dtype), w1.astype(self.dtype), b1,
+                           w2.astype(self.dtype), b2)
+        if cfg.hidden_dropout_prob > 0.0 and not deterministic:
+            mlp = nn.Dropout(cfg.hidden_dropout_prob)(mlp, deterministic=False)
+        mlp = make_norm(cfg.use_conditioning, c, name="norm_mlp", axis=1,
+                        **norm_kw)(mlp, time)
+        return x + self._drop_path(mlp, drop_path_rate, deterministic)
+
+
 class BlockPair(nn.Module):
     """Two consecutive Swin blocks — one unshifted, one shifted (or the
     reverse for the decoder) — as the scan body for ``config.scan_blocks``.
@@ -232,12 +338,14 @@ class BlockPair(nn.Module):
     resolution: int
     shifted_first: bool
     deterministic: bool
+    dm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, time: Optional[jax.Array], dpr_pair: jax.Array):
         kw = dict(config=self.config, dim=self.dim, num_heads=self.num_heads,
-                  resolution=self.resolution, drop_path=0.0, dtype=self.dtype)
+                  resolution=self.resolution, drop_path=0.0, dm=self.dm,
+                  dtype=self.dtype)
         x = SwinBlock(shifted=self.shifted_first, name="block_a", **kw)(
             x, time, self.deterministic, drop_path_rate=dpr_pair[0])
         x = SwinBlock(shifted=not self.shifted_first, name="block_b", **kw)(
@@ -271,7 +379,7 @@ def _remat_block(cls, remat, **remat_kw):
 
 def _scan_stage(parent_cfg: ScOTConfig, *, dim: int, num_heads: int,
                 resolution: int, shifted_first: bool, deterministic: bool,
-                dtype, remat, name: str):
+                dtype, remat, name: str, dm: bool = False):
     """Build the nn.scan-wrapped BlockPair for one stage."""
     body = _remat_block(BlockPair, remat, prevent_cse=False)
     scanned = nn.scan(
@@ -283,12 +391,25 @@ def _scan_stage(parent_cfg: ScOTConfig, *, dim: int, num_heads: int,
     )
     return scanned(config=parent_cfg, dim=dim, num_heads=num_heads,
                    resolution=resolution, shifted_first=shifted_first,
-                   deterministic=deterministic, dtype=dtype, name=name)
+                   deterministic=deterministic, dm=dm, dtype=dtype, name=name)
 
 
 # ---------------------------------------------------------------------------
 # Encoder / decoder
 # ---------------------------------------------------------------------------
+
+def _stage_dm(cfg: ScOTConfig, res: int) -> bool:
+    """True when a stage carries its residual stream D-major
+    (config.dmajor_stream): needs the pallas attention path, a pad-free
+    window grid, and a lane-aligned token count (L % 128) so the fused MLP
+    kernel applies — for the flagship 128/16 geometry that's stages 0-1,
+    exactly where the stream is big enough for per-block relayouts to
+    dominate the copy budget."""
+    if not (cfg.dmajor_stream and cfg.attention_impl == "pallas"):
+        return False
+    window = min(cfg.window_size, res)
+    return res % window == 0 and (res * res) % 128 == 0
+
 
 def _drop_path_rates(cfg: ScOTConfig) -> Tuple[List[float], List[float]]:
     total = 2 * sum(cfg.depths)
@@ -318,13 +439,16 @@ class Encoder(nn.Module):
             depth = cfg.depths[i]
             stage_input = x
             offset = sum(cfg.depths[:i])
+            dm = _stage_dm(cfg, res)
+            if dm:
+                x = jnp.swapaxes(x, 1, 2)  # once per stage, not per block
             if cfg.scan_blocks and depth >= 2 and depth % 2 == 0:
                 dpr_stage = jnp.asarray(
                     dpr[offset:offset + depth], jnp.float32).reshape(depth // 2, 2)
                 x, _ = _scan_stage(
                     cfg, dim=dim, num_heads=cfg.num_heads[i], resolution=res,
                     shifted_first=False, deterministic=deterministic,
-                    dtype=self.dtype, remat=self.remat,
+                    dtype=self.dtype, remat=self.remat, dm=dm,
                     name=f"stage_{i}_pairs",
                 )(x, time, dpr_stage)
             else:
@@ -332,9 +456,11 @@ class Encoder(nn.Module):
                     x = block_cls(
                         config=cfg, dim=dim, num_heads=cfg.num_heads[i],
                         resolution=res, shifted=(j % 2 == 1),
-                        drop_path=dpr[offset + j], dtype=self.dtype,
+                        drop_path=dpr[offset + j], dm=dm, dtype=self.dtype,
                         name=f"stage_{i}_block_{j}",
                     )(x, time, deterministic)
+            if dm:
+                x = jnp.swapaxes(x, 1, 2)
             skips.append(x)
             # Reference API-surface parity (output_hidden_states,
             # Swinv2EncoderOutput at model.py:1094-1099): capture with
@@ -376,6 +502,9 @@ class Decoder(nn.Module):
             dim = cfg.stage_dim(lvl)
             depth = cfg.depths[lvl]
             lo = sum(cfg.depths[lvl + 1:])
+            dm = _stage_dm(cfg, res)
+            if dm:
+                x = jnp.swapaxes(x, 1, 2)  # once per stage, not per block
             if cfg.scan_blocks and depth >= 2 and depth % 2 == 0:
                 # Even depth: executed blocks alternate shifted-first
                 # (the reference builds decode blocks in reversed order).
@@ -384,7 +513,7 @@ class Decoder(nn.Module):
                 x, _ = _scan_stage(
                     cfg, dim=dim, num_heads=cfg.num_heads[lvl], resolution=res,
                     shifted_first=True, deterministic=deterministic,
-                    dtype=self.dtype, remat=self.remat,
+                    dtype=self.dtype, remat=self.remat, dm=dm,
                     name=f"stage_{lvl}_pairs",
                 )(x, time, dpr_stage)
             else:
@@ -393,9 +522,11 @@ class Decoder(nn.Module):
                     x = block_cls(
                         config=cfg, dim=dim, num_heads=cfg.num_heads[lvl],
                         resolution=res, shifted=((depth - 1 - j) % 2 == 1),
-                        drop_path=dpr[lo + j], dtype=self.dtype,
+                        drop_path=dpr[lo + j], dm=dm, dtype=self.dtype,
                         name=f"stage_{lvl}_block_{j}",
                     )(x, time, deterministic)
+            if dm:
+                x = jnp.swapaxes(x, 1, 2)
             self.sow("intermediates", "hidden_states", x)
             if lvl > 0:
                 x = PatchUnmerging(
@@ -528,25 +659,31 @@ def forward_with_intermediates(model, variables, pixel_values, time=None,
     skips, then decoder stage outputs, deepest first) and ``attentions`` the
     per-layer softmax probabilities (N*nW, heads, T, T), in execution order
     (decoder stages run deepest-first, so decoder attention leaves are
-    ordered by DESCENDING stage index). Only available with
-    ``attention_impl="xla"`` (the fused Pallas kernel never materializes
-    probabilities) and ``scan_blocks=False`` (nn.scan drops sown
-    intermediates inside the scanned block pairs) — raises otherwise.
+    ordered by DESCENDING stage index).
+
+    Works from ANY config: the production fast path (``attention_impl=
+    "pallas"`` — the fused kernel never materializes probabilities — and/or
+    ``scan_blocks=True`` — nn.scan drops intermediates sown inside the
+    scanned pairs) is transparently retraced with an inspection twin
+    (``attention_impl="xla"``, ``scan_blocks=False``); scanned params are
+    layout-bridged via :func:`poseidon_tpu.hub.unroll_scanned_params`. The
+    retrace compiles a separate graph — this is an inspection surface, not a
+    training path.
     """
-    if model.config.scan_blocks:
-        raise ValueError(
-            "forward_with_intermediates requires scan_blocks=False: nn.scan "
-            "drops the attention probabilities sown inside scanned block "
-            "pairs (the returned list would be silently empty). Rebuild the "
-            "model with config.replace(scan_blocks=False); the param tree "
-            "can be bridged via poseidon_tpu.hub.")
-    if model.config.attention_impl != "xla":
-        raise ValueError(
-            "forward_with_intermediates requires attention_impl='xla': the "
-            "fused Pallas kernel never materializes the softmax "
-            "probabilities (the returned attentions would be silently "
-            "empty). Rebuild with config.replace(attention_impl='xla') — "
-            "the param tree is identical across implementations.")
+    cfg = model.config
+    if cfg.scan_blocks or cfg.attention_impl != "xla":
+        insp_cfg = cfg.replace(scan_blocks=False, attention_impl="xla")
+        insp_model = type(model)(config=insp_cfg, dtype=model.dtype,
+                                 use_mask_token=model.use_mask_token,
+                                 remat=model.remat)
+        new_vars = dict(variables)
+        if cfg.scan_blocks:
+            from ..hub import unroll_scanned_params
+
+            new_vars["params"] = unroll_scanned_params(
+                variables["params"], cfg)
+        return forward_with_intermediates(insp_model, new_vars, pixel_values,
+                                          time, **apply_kwargs)
     import re
 
     pred, inter = model.apply(variables, pixel_values, time,

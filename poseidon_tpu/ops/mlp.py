@@ -408,6 +408,42 @@ def dm_eligible(x_shape, c: int, f: int, itemsize: int,
     return need <= vmem_budget_bytes()
 
 
+def fused_mlp_dm(x_dm, w1, b1, w2, b2):
+    """D-major-native fused MLP: ``x_dm`` is (B, C, L) — the residual-stream
+    layout of ``config.dmajor_stream`` — consumed and emitted with NO
+    swapaxes (the kernel is D-major already; :func:`fused_mlp` pays the
+    logical transpose only because its public contract is token-major)."""
+    b, c, l = x_dm.shape
+    f = w1.shape[1]
+    from ..utils.device import vmem_budget_bytes
+
+    if l % 128 == 0 and _dm_vmem_need(c, f, l, x_dm.dtype.itemsize) \
+            <= vmem_budget_bytes():
+        return _shard_over_data(_mlp_core_dm, b)(x_dm, w1, b1, w2, b2)
+    # Fallback (ineligible geometry): XLA GEMMs contracting the sublane axis.
+    u = jnp.einsum("ncl,cf->nfl", x_dm, w1) + b1.astype(x_dm.dtype)[:, None]
+    g = jax.nn.gelu(u, approximate=False)
+    return jnp.einsum("nfl,fc->ncl", g, w2) + b2.astype(x_dm.dtype)[:, None]
+
+
+def fused_mlp_cln_dm(x_dm, w1, b1, w2, b2, scale, shift, eps=1e-5):
+    """D-major-native :func:`fused_mlp_cln` (no swapaxes; see fused_mlp_dm)."""
+    b, c, l = x_dm.shape
+    assert dm_eligible((b, l, c), c, w1.shape[1], x_dm.dtype.itemsize,
+                       cln=True)
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import maybe_shard_map_data
+
+    core = maybe_shard_map_data(
+        _ft.partial(_mlp_cln_core, float(eps)), b, 1,
+        in_specs=(P("data"), P(), P(), P(), P(), P("data"), P("data")),
+        out_specs=P("data"))
+    return core(x_dm, w1, b1, w2, b2, scale, shift)
+
+
 def fused_mlp_cln(x, w1, b1, w2, b2, scale, shift, eps=1e-5):
     """Fused SwinBlock tail: ``x + scale * cln(mlp(x)) + shift`` with
     per-sample conditioning.
