@@ -191,7 +191,8 @@ class WindowAttention(nn.Module):
         use_pallas = (self.impl == "pallas"
                       and not (self.attn_drop > 0.0 and not deterministic))
         if use_pallas:
-            from ..ops.window_attention import _pick_pack, fused_window_attention
+            from ..ops.window_attention import (_pick_pack,
+                                                fused_window_attention_qkv)
 
             scale = jnp.exp(jnp.minimum(logit_scale, math.log(1.0 / 0.01)))[:, 0, 0]
             if mask is None:
@@ -211,14 +212,16 @@ class WindowAttention(nn.Module):
                 # elementwise pass per layer (~2 ms/step in the r3 profile).
                 proj_bias = proj_bias + wv[1] @ wp[0]
 
-            # The QKV GEMM EMITS the kernel's D-major world directly:
-            # (N, T, C) @ (C, 3C) -> (N, 3C, T) via einsum, letting XLA fold
-            # the output orientation into the matmul's layout assignment
-            # instead of paying a separate full-tensor relayout copy (the
-            # round-2 profile attributed ~16 ms/step to these relayouts).
-            # With dm_io the input already IS D-major: contract the sublane
-            # axis ("nct,cm->nmt").
-            qkv_eq = "nct,cm->nmt" if self.dm_io else "ntc,cm->nmt"
+            # The QKV GEMM EMITS the kernel's world directly as ONE packed
+            # (3, N, C, T) tensor — q/k/v along the MAJOR axis — so the
+            # module never splits it: the kernel reads its three blocks from
+            # the same tensor via offset index maps, the q bias is added
+            # in-kernel, and the backward emits a single (3, N, C, T)
+            # cotangent the GEMM transpose consumes without a concat (the
+            # r4 provenance table attributed ~6 ms/step to the old
+            # split/concat copies). With dm_io the input already IS D-major:
+            # contract the sublane axis.
+            qkv_eq3 = "nct,csm->snmt" if self.dm_io else "ntc,csm->snmt"
             p = _pick_pack(m.shape[0], heads, t)
             if p > 1:
                 # Small-T stages (2-3) run block-diagonally head-packed in the
@@ -234,34 +237,27 @@ class WindowAttention(nn.Module):
                     return (w.reshape(-1, hp, p, hd).transpose(0, 1, 3, 2)
                             .reshape(-1, heads * hd))
 
-                w_qkv_p = jnp.concatenate(
+                w3 = jnp.stack(
                     [perm_cols(wq[0]), perm_cols(wk[0]), perm_cols(wv[0])],
-                    axis=1).astype(self.dtype)
-                qkv_T = jnp.einsum(qkv_eq, x.astype(self.dtype), w_qkv_p)
-                qT, kT, vT = jnp.split(qkv_T, 3, axis=1)
-                if self.qkv_bias:
-                    qb = wq[1].reshape(hp, p, hd).transpose(0, 2, 1).reshape(-1)
-                    qT = qT + qb.astype(qT.dtype)[None, :, None]
-                shape_p = (bnw, hp, hd, p * t)
-                out = fused_window_attention(
-                    qT.reshape(shape_p), kT.reshape(shape_p),
-                    vT.reshape(shape_p), bias, m, scale, layout="nhdt_packed",
+                    axis=1).astype(self.dtype)  # (C, 3, C)
+                qkv3 = jnp.einsum(qkv_eq3, x.astype(self.dtype), w3)
+                qb = (wq[1].reshape(hp, p, hd).transpose(0, 2, 1).reshape(-1)
+                      if self.qkv_bias else jnp.zeros((c,), jnp.float32))
+                out = fused_window_attention_qkv(
+                    qkv3, qb, bias, m, scale, heads, packed_p=p,
                     windows_per_image=self.windows_per_image)
                 # Packed C order is (head_group, d, head_in_group); contract
                 # it against the correspondingly row-permuted proj kernel.
-                out = out.reshape(bnw, c, t)
                 wp_k = (wp[0].reshape(hp, p, hd, c).transpose(0, 2, 1, 3)
                         .reshape(c, c))
             else:
-                qkv_T = jnp.einsum(qkv_eq, x.astype(self.dtype), w_qkv)
-                qT, kT, vT = jnp.split(qkv_T, 3, axis=1)
-                if self.qkv_bias:
-                    qT = qT + wq[1].astype(qT.dtype)[None, :, None]
-                out = fused_window_attention(
-                    qT.reshape(bnw, heads, hd, t), kT.reshape(bnw, heads, hd, t),
-                    vT.reshape(bnw, heads, hd, t), bias, m, scale,
-                    layout="nhdt", windows_per_image=self.windows_per_image)
-                out = out.reshape(bnw, c, t)
+                w3 = jnp.stack([wq[0], wk[0], wv[0]], axis=1).astype(self.dtype)
+                qkv3 = jnp.einsum(qkv_eq3, x.astype(self.dtype), w3)
+                qb = (wq[1] if self.qkv_bias
+                      else jnp.zeros((c,), jnp.float32))
+                out = fused_window_attention_qkv(
+                    qkv3, qb, bias, m, scale, heads, packed_p=1,
+                    windows_per_image=self.windows_per_image)
                 wp_k = wp[0]
             # Project straight out of the D-major world: (N, C, T) @ (C, C)
             # contracting the sublane axis -> token-major (N, T, C) for the

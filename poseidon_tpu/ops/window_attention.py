@@ -102,24 +102,40 @@ def _normalize_cols(x):
     return x / jnp.maximum(n, _EPS)
 
 
-def _scores(q_ref, k_ref, bm_ref, s_ref):
+def _scores(q, k, bm, srow):
     """qn, kn, qs (G, D, T) f32; scores S (G, T, T) f32 (incl. bm)."""
-    cdt = q_ref.dtype
-    qn = _normalize_cols(q_ref[...].astype(jnp.float32))
-    kn = _normalize_cols(k_ref[...].astype(jnp.float32))
-    qs = qn * s_ref[...]  # srow (G, 1, T) broadcasts over sublanes (D)
-    s = _bdot(qs.astype(cdt), kn.astype(cdt), (1, 1)) + bm_ref[...]
+    cdt = q.dtype
+    qn = _normalize_cols(q.astype(jnp.float32))
+    kn = _normalize_cols(k.astype(jnp.float32))
+    qs = qn * srow  # srow (G, 1, T) broadcasts over sublanes (D)
+    s = _bdot(qs.astype(cdt), kn.astype(cdt), (1, 1)) + bm
     return qn, kn, qs, s
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bm_ref, s_ref, o_ref):
-    _, _, _, s = _scores(q_ref, k_ref, bm_ref, s_ref)
+def _fwd_body(q, k, v, bm, srow):
+    """Forward math on plain (G, D, T) arrays; returns o in v's dtype."""
+    _, _, _, s = _scores(q, k, bm, srow)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     den = jnp.sum(e, axis=-1, keepdims=True)  # (G, T, 1)
     # o[d, t] = sum_s v[d, s] p[t, s];  1/den folded into the (D, T) output.
-    o = _bdot(v_ref[...], e.astype(v_ref.dtype), (2, 2))
-    o_ref[...] = (o / den[:, :, 0][:, None, :]).astype(o_ref.dtype)
+    o = _bdot(v, e.astype(v.dtype), (2, 2))
+    return (o / den[:, :, 0][:, None, :]).astype(v.dtype)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bm_ref, s_ref, o_ref):
+    o_ref[...] = _fwd_body(q_ref[...], k_ref[...], v_ref[...],
+                           bm_ref[...], s_ref[...]).astype(o_ref.dtype)
+
+
+def _fwd_kernel_qkv(q_ref, k_ref, v_ref, qb_ref, bm_ref, s_ref, o_ref):
+    """Packed-QKV forward: q/k/v refs are (1, G, D, T) views into the SAME
+    (3, pairs, D, T) tensor (three operands, offset index maps) — the module
+    never materializes the q/k/v splits. The q projection bias (per-(head, d)
+    column, constant over tokens) is added in-kernel."""
+    q = q_ref[0] + qb_ref[...].astype(q_ref.dtype)  # (G, D, T) + (G, D, 1)
+    o_ref[...] = _fwd_body(q, k_ref[0], v_ref[0],
+                           bm_ref[...], s_ref[...]).astype(o_ref.dtype)
 
 
 def _acc(ref, i, value, base: int, g: int):
@@ -146,23 +162,22 @@ def _acc(ref, i, value, base: int, g: int):
             ref[pl.ds(off, g)] += value
 
 
-def _bwd_kernel(base: int, q_ref, k_ref, v_ref, bm_ref, s_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, dbm_ref, dsrow_ref):
-    i = pl.program_id(0)
-    g = q_ref.shape[0]
-    cdt = q_ref.dtype
-    qn, kn, qs, s = _scores(q_ref, k_ref, bm_ref, s_ref)
+def _bwd_body(q, k, v, bm, srow, do):
+    """Backward math on plain (G, D, T) arrays; returns
+    (dq, dk, dv [q dtype], ds (G, T, T) f32, dsrow (G, 1, T) f32)."""
+    cdt = q.dtype
+    qn, kn, qs, s = _scores(q, k, bm, srow)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     den = jnp.sum(e, axis=-1, keepdims=True)  # (G, T, 1)
     den_row = den[:, :, 0][:, None, :]        # (G, 1, T)
-    do = do_ref[...].astype(jnp.float32)      # (G, D, T)
+    do = do.astype(jnp.float32)               # (G, D, T)
 
     # dv[d, s] = sum_t p[t, s] do[d, t] = sum_t e[t, s] (do[d, t] / den[t])
     dod = (do / den_row).astype(cdt)
-    dv_ref[...] = _bdot(dod, e.astype(cdt), (2, 1)).astype(dv_ref.dtype)
+    dv = _bdot(dod, e.astype(cdt), (2, 1)).astype(cdt)
     # dp[t, s] = sum_d do[d, t] v[d, s];  ds = p * (dp - sum_s dp*p)
-    dp = _bdot(do.astype(cdt), v_ref[...], (1, 1))
+    dp = _bdot(do.astype(cdt), v, (1, 1))
     c = jnp.sum(dp * e, axis=-1, keepdims=True) / den
     ds = e * ((dp - c) / den)
     dsb = ds.astype(cdt)
@@ -170,7 +185,6 @@ def _bwd_kernel(base: int, q_ref, k_ref, v_ref, bm_ref, s_ref, do_ref,
     dqs = _bdot(kn.astype(cdt), dsb, (2, 2))
     dkn = _bdot(qs.astype(cdt), dsb, (2, 1))
     # through the logit scale: qs = srow * qn  (srow is (G, 1, T))
-    srow = s_ref[...]
     dsrow = jnp.sum(dqs * qn, axis=1, keepdims=True)  # (G, 1, T) sublane sum
     dqn = dqs * srow
 
@@ -179,11 +193,44 @@ def _bwd_kernel(base: int, q_ref, k_ref, v_ref, bm_ref, s_ref, do_ref,
         n = jnp.maximum(jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True)), _EPS)
         return (dxn - xn * jnp.sum(dxn * xn, axis=1, keepdims=True)) / n
 
-    q32 = q_ref[...].astype(jnp.float32)
-    k32 = k_ref[...].astype(jnp.float32)
-    dq_ref[...] = _norm_bwd(dqn, qn, q32).astype(dq_ref.dtype)
-    dk_ref[...] = _norm_bwd(dkn, kn, k32).astype(dk_ref.dtype)
+    dq = _norm_bwd(dqn, qn, q.astype(jnp.float32)).astype(cdt)
+    dk = _norm_bwd(dkn, kn, k.astype(jnp.float32)).astype(cdt)
+    return dq, dk, dv, ds, dsrow
 
+
+def _bwd_kernel(base: int, q_ref, k_ref, v_ref, bm_ref, s_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dbm_ref, dsrow_ref):
+    i = pl.program_id(0)
+    g = q_ref.shape[0]
+    dq, dk, dv, ds, dsrow = _bwd_body(
+        q_ref[...], k_ref[...], v_ref[...], bm_ref[...], s_ref[...],
+        do_ref[...])
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+    _acc(dbm_ref, i, ds, base, g)
+    _acc(dsrow_ref, i, dsrow, base, g)
+
+
+def _bwd_kernel_qkv(base: int, q_ref, k_ref, v_ref, qb_ref, bm_ref, s_ref,
+                    do_ref, dqkv_ref, dqb_ref, dbm_ref, dsrow_ref):
+    """Packed-QKV backward: emits dq/dk/dv as slices of ONE (3, pairs, D, T)
+    output, so the QKV GEMM's transpose consumes them without a concat. The
+    in-kernel q bias gets its cotangent accumulated like dbm — a lane
+    reduction when qb is token-constant ((G, D, 1) blocks), elementwise when
+    it varies along the packed token axis ((G, D, T') blocks)."""
+    i = pl.program_id(0)
+    g = q_ref.shape[1]
+    q = q_ref[0] + qb_ref[...].astype(q_ref.dtype)
+    dq, dk, dv, ds, dsrow = _bwd_body(
+        q, k_ref[0], v_ref[0], bm_ref[...], s_ref[...], do_ref[...])
+    dqkv_ref[0] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[1] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[2] = dv.astype(dqkv_ref.dtype)
+    dq32 = dq.astype(jnp.float32)
+    dqb_val = (jnp.sum(dq32, axis=2, keepdims=True)
+               if qb_ref.shape[-1] == 1 else dq32)
+    _acc(dqb_ref, i, dqb_val, base, g)
     _acc(dbm_ref, i, ds, base, g)
     _acc(dsrow_ref, i, dsrow, base, g)
 
@@ -270,6 +317,100 @@ def _core_bwd_rule(res, do):
 
 
 _attention_core.defvjp(_core_fwd_rule, _core_bwd_rule)
+
+
+# -- packed-QKV core: one (3, pairs, D, T) tensor in, no q/k/v splits -------
+
+def _qkv_specs(group: int, d: int, t: int):
+    """Three operand specs indexing the SAME (3, pairs, D, T) tensor at
+    offsets 0/1/2 — the kernel reads its q/k/v blocks straight out of the
+    QKV GEMM's output; XLA never materializes the three splits."""
+    def spec(s):
+        return pl.BlockSpec((1, group, d, t), lambda i, _s=s: (_s, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return [spec(0), spec(1), spec(2)]
+
+
+def _core_fwd_qkv(qkv3, qb, bm, srow):
+    _, pairs, d, t = qkv3.shape
+    base = bm.shape[0]
+    group = _pick_group(base, t)
+    grid = pairs // group
+    qbw = qb.shape[-1]  # 1 (token-constant) or t (packed head blocks)
+    tile = pl.BlockSpec((group, d, t), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fwd_kernel_qkv,
+        grid=(grid,),
+        in_specs=_qkv_specs(group, d, t) + [
+            _bm_spec(group, base, (group, d, qbw)),
+            _bm_spec(group, base, (group, t, t)),
+            _bm_spec(group, base, (group, 1, t))],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((pairs, d, t), qkv3.dtype),
+        interpret=_needs_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * pairs * t * t * d,
+            bytes_accessed=4 * pairs * t * d * qkv3.dtype.itemsize,
+            transcendentals=pairs * t * t,
+        ),
+    )(qkv3, qkv3, qkv3, qb, bm, srow)
+
+
+def _core_bwd_qkv(qkv3, qb, bm, srow, do):
+    _, pairs, d, t = qkv3.shape
+    base = bm.shape[0]
+    group = _pick_group(base, t)
+    grid = pairs // group
+    qbw = qb.shape[-1]
+    tile = pl.BlockSpec((group, d, t), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tri_out = pl.BlockSpec((3, group, d, t), lambda i: (0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    constd = pl.BlockSpec((base, d, qbw), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const3 = pl.BlockSpec((base, t, t), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const2 = pl.BlockSpec((base, 1, t), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dqkv, dqb, dbm, dsrow = pl.pallas_call(
+        functools.partial(_bwd_kernel_qkv, base),
+        grid=(grid,),
+        in_specs=_qkv_specs(group, d, t) + [
+            _bm_spec(group, base, (group, d, qbw)),
+            _bm_spec(group, base, (group, t, t)),
+            _bm_spec(group, base, (group, 1, t)),
+            tile],
+        out_specs=[tri_out, constd, const3, const2],
+        out_shape=[jax.ShapeDtypeStruct((3, pairs, d, t), qkv3.dtype),
+                   jax.ShapeDtypeStruct((base, d, qbw), jnp.float32),
+                   jax.ShapeDtypeStruct((base, t, t), jnp.float32),
+                   jax.ShapeDtypeStruct((base, 1, t), jnp.float32)],
+        interpret=_needs_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * pairs * t * t * d,
+            bytes_accessed=8 * pairs * t * d * qkv3.dtype.itemsize,
+            transcendentals=pairs * t * t,
+        ),
+    )(qkv3, qkv3, qkv3, qb, bm, srow, do)
+    return dqkv, dqb, dbm, dsrow
+
+
+@jax.custom_vjp
+def _attention_core_qkv(qkv3, qb, bm, srow):
+    return _core_fwd_qkv(qkv3, qb, bm, srow)
+
+
+def _core_qkv_fwd_rule(qkv3, qb, bm, srow):
+    return _core_fwd_qkv(qkv3, qb, bm, srow), (qkv3, qb, bm, srow)
+
+
+def _core_qkv_bwd_rule(res, do):
+    return _core_bwd_qkv(*res, do)
+
+
+_attention_core_qkv.defvjp(_core_qkv_fwd_rule, _core_qkv_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
@@ -417,6 +558,78 @@ def fused_window_attention(q, k, v, bias, mask, scale, layout: str = "nhtd",
     out = _sharded_core(n * h, max(windows_per_image, nw) * h)(
         flat(q), flat(k), flat(v), bm.reshape(base, t, t), srow)
     return from_hdT(out.reshape(n, h, d, t))
+
+
+def _sharded_core_qkv(pairs: int, granule: int):
+    """Packed-QKV core shard_mapped over the data axis: the data-sharded
+    operand is (3, pairs, D, T), sharded on axis 1."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import maybe_shard_map_data
+
+    return maybe_shard_map_data(
+        _attention_core_qkv, pairs, granule,
+        in_specs=(P(None, "data"), P(), P(), P()), out_specs=P("data"))
+
+
+def fused_window_attention_qkv(qkv3, qb, bias, mask, scale, heads: int,
+                               packed_p: int = 1,
+                               windows_per_image: int = 1):
+    """Fused cosine window attention fed by ONE packed QKV tensor.
+
+    The module's QKV GEMM emits ``qkv3`` as (3, N, C, T) (q/k/v along the
+    MAJOR axis — ``einsum("ntc,csm->snmt")``), so q/k/v are never split into
+    separate buffers: the kernel reads its three blocks out of the same
+    tensor via offset index maps, and the backward emits one (3, N, C, T)
+    cotangent the GEMM transpose consumes directly. Removes the ~6 ms/step
+    of split/concat copies the r4 baseline trace attributed to
+    ``jnp.split`` (models/attention.py:230-246 provenance table).
+
+    Args:
+        qkv3: (3, N, C, T); C = heads x D in (head, d) column order, or the
+            packed (head_group, d, head_in_group) order when packed_p > 1.
+        qb: (C,) f32/bf16 q-projection bias in the SAME column order (zeros
+            when qkv_bias is off); added in-kernel (k has no bias; the
+            v-bias is folded through the output projection by the caller).
+        bias: (H, T, T) fp32 position bias (already 16*sigmoid'd).
+        mask: (nW, T, T) additive shift mask, already doubled; packed_p > 1
+            requires nW == 1.
+        scale: (H,) fp32 exp(clamped logit_scale).
+        heads: H.
+        packed_p: heads packed per block-diagonal tile (stages 2-3).
+        windows_per_image: TRUE windows per image (shard granularity).
+    Returns:
+        (N, C, T) attention output in qkv3's dtype (packed C order preserved).
+    """
+    _, n, c, t_in = qkv3.shape
+    if packed_p > 1:
+        p = packed_p
+        hp = heads // p
+        d = c // heads
+        t = t_in * p  # packed tile token width
+        assert mask.shape[0] == 1, "packed layout requires unshifted windows"
+        bm0 = bias + mask[0][None]
+        bmp = _packed_bm(bm0, hp, p, t_in)
+        srow = jnp.repeat(scale.reshape(hp, p), t_in, axis=1)[:, None, :]
+        # qb in packed (hp, d, p) order, each entry constant over the T_in
+        # tokens of its head block: (hp, d, p) -> (hp, d, p*T_in).
+        qbp = jnp.repeat(qb.reshape(hp, d, p), t_in, axis=2)
+        core = _sharded_core_qkv(n * hp, windows_per_image * hp)
+        out = core(qkv3.reshape(3, n * hp, d, t),
+                   qbp.astype(jnp.float32), bmp, srow)
+        return out.reshape(n, c, t_in)
+    nw = mask.shape[0]
+    d = c // heads
+    base = nw * heads
+    bm = (bias[None] + mask[:, None]).reshape(base, t_in, t_in)
+    srow = jnp.broadcast_to(scale[None, :, None],
+                            (nw, heads, t_in)).reshape(base, 1, t_in)
+    qbt = jnp.broadcast_to(qb.reshape(1, heads, d, 1),
+                           (nw, heads, d, 1)).reshape(base, d, 1)
+    core = _sharded_core_qkv(n * heads, max(windows_per_image, nw) * heads)
+    out = core(qkv3.reshape(3, n * heads, d, t_in),
+               qbt.astype(jnp.float32), bm, srow)
+    return out.reshape(n, c, t_in)
 
 
 # ---------------------------------------------------------------------------
