@@ -325,6 +325,13 @@ def _sweep_iterate(params, fn):
 
 
 def main(argv=None):
+    # Persistent XLA compilation cache (same as the train CLI): repeated
+    # inference invocations — the sweep modes call the model per run — skip
+    # the remote compile after the first process.
+    from .utils.init import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(
         description="Do different evaluations for a model, see --mode.")
     parser.add_argument("--model_path", type=str, default=None)

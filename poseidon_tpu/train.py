@@ -178,6 +178,14 @@ def main(argv=None):
     parser.add_argument("--resume_training", action="store_true")
     params = parser.parse_args(argv)
 
+    # Persistent XLA compilation cache: a warm second process skips the
+    # multi-minute remote compile (measured 112 s cold -> 34.6 s warm,
+    # BASELINE.md round-4). The reference is eager torch and pays no compile
+    # at all (train.py:409) — closing startup latency is parity work.
+    from .utils.init import enable_compilation_cache
+
+    enable_compilation_cache()
+
     np.random.seed(SEED)
     config = load_config(params)
     run, sweep_id, run_name = wandb_setup(params, config)
@@ -254,6 +262,8 @@ def main(argv=None):
         lr_scheduler_type=config.get("lr_scheduler", "cosine"),
         warmup_ratio=config.get("warmup_ratio", 0.0),
         max_grad_norm=config.get("max_grad_norm", 1.0),
+        compute_dtype=config.get("compute_dtype", "bfloat16"),
+        save_steps=config.get("save_steps"),
         early_stopping_patience=config.get("early_stopping_patience"),
         seed=SEED,
         report_to="wandb" if run is not None else "jsonl",

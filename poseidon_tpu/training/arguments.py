@@ -44,6 +44,12 @@ class TrainingArguments:
     # checkpoints only. Resuming from a mid-epoch checkpoint reproduces the
     # uninterrupted run bit-for-bit (deterministic loader + per-step rng
     # folded from the global step).
+    # DELIBERATE DEVIATION from HF semantics (documented in PARITY.md): the
+    # cadence is keyed on the within-epoch batch index, not the global
+    # optimizer step — after epoch 1 the two diverge unless
+    # steps_per_epoch % save_steps == 0. Per-epoch keying keeps the
+    # checkpoint name (checkpoint-E-stepN) aligned with the loader's
+    # (epoch, start_batch) resume coordinates.
     save_steps: Optional[int] = None
     save_total_limit: int = 1
     load_best_model_at_end: bool = True

@@ -1,0 +1,242 @@
+"""End-to-end run of the PRODUCTION train CLI on the real TPU chip
+(VERDICT r4 item 5).
+
+The reference's only documented workflow is `accelerate launch scOT/train.py`
+(/root/reference/README.md:50-58, scOT/train.py:181-537): loader -> train
+steps -> per-epoch eval battery -> best checkpoint -> optional resume ->
+post-training test protocol (direct + AR). Every piece of that path is
+CPU-tested here, but before round 5 the real `python -m poseidon_tpu.train`
+had never executed against the TPU backend. This script runs it three times
+on synthetic AllenCahn data and commits the evidence:
+
+1. RUN 1:    full config, KILLED at a mid-epoch step checkpoint (SIGKILL).
+2. RESUME:   same command + --resume_training; finishes the remaining epochs
+             and the post-train protocol (direct + AR at ar_steps=7).
+3. CONTROL:  identical uninterrupted run in a fresh checkpoint dir.
+
+The artifact E2E_TPU_r05.json records: per-epoch train/eval losses of the
+resumed and control runs (resume is BIT-EXACT iff they agree exactly),
+first_step_s of each process (cold vs warm persistent-cache compile at the
+production entry point — VERDICT r4 item 4's probe), and the post-train
+protocol metrics.
+
+Usage:  python scripts/e2e_tpu_cli.py  [--data_dir /tmp/e2e_data]
+        [--ckpt_dir /tmp/e2e_ckpt] [--out E2E_TPU_r05.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+NUM_TRAJ = 32
+EPOCHS = 6
+BATCH = 32
+SAVE_STEPS = 4  # steps_per_epoch = 32 traj * 36 pairs / 32 = 36 -> mid-epoch ckpts
+
+CONFIG = {
+    "dataset": "reaction_diffusion.AllenCahn",
+    "num_trajectories": NUM_TRAJ,
+    "model_name": "T",
+    "num_epochs": EPOCHS,
+    "lr": 1e-4,
+    "weight_decay": 1e-6,
+    "lr_scheduler": "cosine",
+    "warmup_ratio": 0.0,
+    "early_stopping_patience": 200,
+    "batch_size": BATCH,
+    "max_grad_norm": 5.0,
+    # Production fast path: fused Pallas attention + bf16 scores/compute.
+    "attention_impl": "pallas",
+    "score_dtype": "bfloat16",
+    "save_steps": SAVE_STEPS,
+}
+
+
+def generate_data(data_dir: str) -> None:
+    """Sparse synthetic ACE.nc: full split shape (15000, 20, 128, 128), only
+    the rows the run reads written — train [0, NUM_TRAJ), val [14700, 14760),
+    test [14760, 15000). Fields decay smoothly in t so the operator is
+    learnable and the loss can actually drop."""
+    import h5py
+
+    os.makedirs(data_dir, exist_ok=True)
+    path = os.path.join(data_dir, "ACE.nc")
+    if os.path.exists(path):
+        return
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    with h5py.File(path, "w") as f:
+        ds = f.create_dataset("solution", shape=(15000, 20, 128, 128),
+                              dtype="f4", chunks=(1, 1, 128, 128))
+        for i in list(range(NUM_TRAJ)) + list(range(14700, 15000)):
+            base = rng.normal(size=(128, 128)).astype("f4")
+            for t in range(20):
+                ds[i, t] = base * np.exp(-0.05 * t)
+    print(f"# wrote ACE.nc in {time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def cli_cmd(config_path: str, data_dir: str, ckpt_dir: str, run_name: str,
+            resume: bool = False):
+    cmd = [sys.executable, "-m", "poseidon_tpu.train",
+           "--config", config_path, "--data_path", data_dir,
+           "--checkpoint_path", ckpt_dir, "--wandb_project_name", "e2e",
+           "--wandb_run_name", run_name]
+    if resume:
+        cmd.append("--resume_training")
+    return cmd
+
+
+def run_until_ckpt(cmd, run_dir: str, kill_after_epoch: int, log_path: str):
+    """Start the CLI; SIGKILL it once a mid-epoch checkpoint of
+    ``kill_after_epoch`` exists (plus a settle delay so the save finished)."""
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
+                                cwd=REPO)
+        killed_at = None
+        deadline = time.time() + 3600
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"run exited rc={proc.returncode} before the kill point; "
+                    f"see {log_path}")
+            cks = [d for d in (os.listdir(run_dir) if os.path.isdir(run_dir) else [])
+                   if d.startswith(f"checkpoint-{kill_after_epoch}-step")]
+            if cks:
+                time.sleep(10)  # let the orbax save fully commit
+                killed_at = sorted(cks)[-1]
+                proc.send_signal(signal.SIGKILL)
+                proc.wait()
+                break
+            time.sleep(5)
+        if killed_at is None:
+            proc.kill()
+            raise RuntimeError("timed out waiting for the kill checkpoint")
+    return killed_at
+
+
+def run_to_completion(cmd, log_path: str) -> None:
+    with open(log_path, "w") as log:
+        rc = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT,
+                             cwd=REPO, timeout=7200)
+    if rc != 0:
+        tail = open(log_path).read()[-3000:]
+        raise RuntimeError(f"CLI failed rc={rc}:\n{tail}")
+
+
+def read_logs(run_dir: str):
+    entries = []
+    with open(os.path.join(run_dir, "logs.jsonl")) as f:
+        for line in f:
+            entries.append(json.loads(line))
+    return entries
+
+
+def epoch_rows(entries):
+    """(epoch -> {train_loss, eval_loss}) from logs.jsonl entries."""
+    out = {}
+    for e in entries:
+        if "train_loss" in e:
+            out[e["epoch"]] = {"train_loss": e["train_loss"],
+                               "eval_loss": e.get("eval_loss")}
+    return out
+
+
+def first_steps(entries):
+    return [e["first_step_s"] for e in entries if "first_step_s" in e]
+
+
+def protocol_metrics(entries):
+    for e in reversed(entries):
+        if any(k.startswith("test/") for k in e):
+            return e
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", default="/tmp/e2e_data")
+    ap.add_argument("--ckpt_dir", default="/tmp/e2e_ckpt")
+    ap.add_argument("--out", default=os.path.join(REPO, "E2E_TPU_r05.json"))
+    ap.add_argument("--kill_after_epoch", type=int, default=2)
+    args = ap.parse_args()
+
+    generate_data(args.data_dir)
+    config_path = os.path.join(args.data_dir, "e2e_run.yaml")
+    with open(config_path, "w") as f:
+        json.dump(CONFIG, f)  # yaml superset: json is valid yaml... but keep .yaml loader happy
+    # train.py loads non-.json files through yaml.safe_load, which parses
+    # JSON content fine.
+
+    result = {"config": CONFIG, "backend": None}
+
+    run_dir = os.path.join(args.ckpt_dir, "e2e", "e2e-run")
+    ctrl_dir = os.path.join(args.ckpt_dir, "e2e", "e2e-control")
+    for d in (run_dir, ctrl_dir):
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(d)
+
+    t0 = time.perf_counter()
+    print("# RUN 1 (to be killed mid-epoch)...", flush=True)
+    killed_at = run_until_ckpt(
+        cli_cmd(config_path, args.data_dir, args.ckpt_dir, "e2e-run"),
+        run_dir, args.kill_after_epoch, "/tmp/e2e_run1.log")
+    result["run1"] = {"killed_at_checkpoint": killed_at,
+                      "wall_s": round(time.perf_counter() - t0, 1),
+                      "first_step_s": first_steps(read_logs(run_dir))}
+    print(f"# killed at {killed_at} after {result['run1']['wall_s']}s", flush=True)
+
+    t0 = time.perf_counter()
+    print("# RESUME...", flush=True)
+    run_to_completion(
+        cli_cmd(config_path, args.data_dir, args.ckpt_dir, "e2e-run",
+                resume=True), "/tmp/e2e_resume.log")
+    entries = read_logs(run_dir)
+    result["resume"] = {"wall_s": round(time.perf_counter() - t0, 1),
+                        "first_step_s": first_steps(entries),
+                        "epochs": epoch_rows(entries),
+                        "protocol": protocol_metrics(entries)}
+    print(f"# resume done in {result['resume']['wall_s']}s", flush=True)
+
+    t0 = time.perf_counter()
+    print("# CONTROL (uninterrupted)...", flush=True)
+    run_to_completion(
+        cli_cmd(config_path, args.data_dir, args.ckpt_dir, "e2e-control"),
+        "/tmp/e2e_control.log")
+    centries = read_logs(ctrl_dir)
+    result["control"] = {"wall_s": round(time.perf_counter() - t0, 1),
+                         "first_step_s": first_steps(centries),
+                         "epochs": epoch_rows(centries),
+                         "protocol": protocol_metrics(centries)}
+
+    # Bit-exact resume claim: every epoch's train/eval loss of the
+    # interrupted+resumed run must equal the control's exactly.
+    re_, ce = result["resume"]["epochs"], result["control"]["epochs"]
+    result["resume_bit_exact"] = (re_ == ce)
+    result["loss_decreased"] = (
+        list(re_.values())[-1]["train_loss"] < list(re_.values())[0]["train_loss"])
+
+    # NOT querying jax.devices() here: the subprocesses own the TPU and a
+    # second process touching the backend causes RESOURCE_EXHAUSTED.
+    result["backend"] = os.environ.get("JAX_PLATFORMS", "axon (default)")
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2, default=float)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k in ("resume_bit_exact", "loss_decreased")}))
+    print(f"# wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ import os
 import time
 
 
-def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks=False, attention_impl="xla", fused_block_tail=True, flat_opt=False, dmajor=False):
+def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks=False, attention_impl="xla", fused_block_tail=True, flat_opt=False, dmajor=False, model_size="B"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -24,7 +24,7 @@ def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks
     from poseidon_tpu.utils.init import enable_compilation_cache, shape_variables
 
     enable_compilation_cache()
-    cfg = make_config("B", image_size=128, num_channels=4, num_out_channels=4,
+    cfg = make_config(model_size, image_size=128, num_channels=4, num_out_channels=4,
                       channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
                       score_dtype=score_dtype, scan_blocks=scan_blocks,
                       attention_impl=attention_impl,
@@ -121,6 +121,7 @@ def analyze(trace_dir, top=40):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--model", default="B")
     ap.add_argument("--trace_dir", default="/tmp/prof_step")
     ap.add_argument("--score_dtype", default="bfloat16")
     ap.add_argument("--remat", action="store_true")
@@ -135,5 +136,6 @@ if __name__ == "__main__":
         os.makedirs(args.trace_dir, exist_ok=True)
         run_trace(args.batch, args.trace_dir, args.score_dtype, args.remat,
                   args.scan_blocks, args.attention_impl,
-                  not args.no_fused_tail, args.flat_opt, args.dmajor)
+                  not args.no_fused_tail, args.flat_opt, args.dmajor,
+                  model_size=args.model)
     analyze(args.trace_dir)

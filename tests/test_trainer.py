@@ -146,6 +146,28 @@ class TestTrainLoop:
         assert out is not None
         assert int(trainer2.state.step) == step_before
 
+    def test_legacy_checkpoint_restore(self, tmp_path):
+        """Checkpoints written before loss_sum/meta.batch_index existed must
+        still restore (ADVICE r4): new fields fall back to their defaults."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        trainer = make_trainer(tmp_path, num_train_epochs=1)
+        tree = trainer._ckpt_tree(3, 0.5)
+        del tree["loss_sum"]
+        tree["meta"] = {"epoch": tree["meta"]["epoch"],
+                        "best": tree["meta"]["best"]}
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(str(tmp_path / "checkpoint-3")), tree,
+                       force=True)
+        out = trainer.load_checkpoint(str(tmp_path))
+        assert out is not None
+        epoch, best, start_batch = out
+        assert (epoch, start_batch) == (4, 0)
+        np.testing.assert_allclose(best, 0.5)
+        np.testing.assert_allclose(float(trainer.state.loss_sum), 0.0)
+
     def test_early_stopping(self, tmp_path):
         trainer = make_trainer(tmp_path, num_train_epochs=50,
                                early_stopping_patience=1, learning_rate=0.0)
@@ -421,3 +443,34 @@ class TestFlatOptimizer:
             flat_b = jax.tree_util.tree_leaves(p_flat)
             for a, b in zip(flat_a, flat_b):
                 np.testing.assert_allclose(a, b, atol=1e-7, rtol=1e-6)
+
+
+class TestCompilationCacheWiring:
+    """The production CLIs must enable the persistent compilation cache
+    (VERDICT r4 item 4) — bench.py and __graft_entry__ already did."""
+
+    def test_train_cli_enables_cache(self, monkeypatch, tmp_path):
+        import poseidon_tpu.train as train_cli
+        import poseidon_tpu.utils.init as uinit
+
+        called = []
+        monkeypatch.setattr(uinit, "enable_compilation_cache",
+                            lambda *a, **k: called.append(True))
+        with pytest.raises(FileNotFoundError):
+            train_cli.main(["--config", str(tmp_path / "missing.yaml"),
+                            "--data_path", str(tmp_path),
+                            "--checkpoint_path", str(tmp_path)])
+        assert called
+
+    def test_inference_cli_enables_cache(self, monkeypatch, tmp_path):
+        import poseidon_tpu.inference as inf_cli
+        import poseidon_tpu.utils.init as uinit
+
+        called = []
+        monkeypatch.setattr(uinit, "enable_compilation_cache",
+                            lambda *a, **k: called.append(True))
+        with pytest.raises(SystemExit):
+            inf_cli.main(["--data_path", str(tmp_path),
+                          "--file", str(tmp_path / "out.csv"),
+                          "--mode", "bogus"])
+        assert called
