@@ -73,6 +73,13 @@ class ScOTConfig:
     # fuses the norm+residual into neighbors more cheaply than the kernel's
     # recompute epilogue. Kept as an A/B knob; numerics agree either way.
     fused_block_tail: bool = False
+    # Under attention_impl="pallas": fuse output-projection +
+    # ConditionalLayerNorm + residual into one D-major kernel for the
+    # lane-aligned stages (ops/mlp.py fused_proj_cln_dm) — the attention-side
+    # counterpart of fused_block_tail. Unlike the MLP tail (whose backward
+    # recompute pays two full (C, 4C) GEMMs), the recompute here is a single
+    # (C, C) GEMM, so the norm+upcast+residual pass savings dominate.
+    fused_attn_tail: bool = False
     # Under attention_impl="pallas": carry the residual stream D-major
     # ((B, C, L) instead of (B, L, C)) through whole lane-aligned stages —
     # the window partition/reverse, attention projections, conditional

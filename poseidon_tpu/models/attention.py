@@ -151,6 +151,13 @@ class WindowAttention(nn.Module):
     # projection emits D-major, so the whole block stays in one layout.
     # Param tree is identical either way.
     dm_io: bool = False
+    # Defer the output projection to the caller: return the raw D-major
+    # (N, C, T) attention-core output plus (proj_kernel, proj_bias) so the
+    # block can fuse proj+CLN+residual AFTER window_reverse (both are
+    # per-token channel ops and commute with the spatial reshuffle; see
+    # ops/mlp.py::fused_proj_cln_dm). Pallas impl only; the param tree is
+    # unchanged (proj params are still created here).
+    defer_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -250,6 +257,9 @@ class WindowAttention(nn.Module):
                 # it against the correspondingly row-permuted proj kernel.
                 wp_k = (wp[0].reshape(hp, p, hd, c).transpose(0, 2, 1, 3)
                         .reshape(c, c))
+                # Packed C order is an INPUT-row permutation only — wp_k's
+                # output columns stay in natural order, so deferred callers
+                # contract it identically.
             else:
                 w3 = jnp.stack([wq[0], wk[0], wv[0]], axis=1).astype(self.dtype)
                 qkv3 = jnp.einsum(qkv_eq3, x.astype(self.dtype), w3)
@@ -259,6 +269,10 @@ class WindowAttention(nn.Module):
                     qkv3, qb, bias, m, scale, heads, packed_p=1,
                     windows_per_image=self.windows_per_image)
                 wp_k = wp[0]
+            if self.defer_proj:
+                assert not (self.proj_drop > 0.0 and not deterministic), \
+                    "defer_proj callers must gate on proj dropout"
+                return out, wp_k.astype(self.dtype), proj_bias
             # Project straight out of the D-major world: (N, C, T) @ (C, C)
             # contracting the sublane axis -> token-major (N, T, C) for the
             # classic stream, or D-major (N, C', T) when dm_io — either way

@@ -112,6 +112,29 @@ class SwinBlock(nn.Module):
         mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
         return jnp.where(mask, h / keep.astype(h.dtype), jnp.zeros_like(h))
 
+    def _fused_cln_cond(self, c: int, name: str, time, b: int,
+                        deterministic: bool, drop_path_rate):
+        """Per-sample (B, C) conditional scale/shift for a CLN whose math runs
+        inside a fused kernel, with the drop-path keep mask folded in (the
+        fused epilogues are linear in scale/shift). Creates the identical
+        cond_scale/cond_shift param fragments as ConditionalLayerNorm."""
+        from ..models.layers import CLNParams
+
+        ws, wsb, wb, wbb = CLNParams(c, self.config.initializer_range,
+                                     name=name)()
+        tcol = time.reshape(-1, 1).astype(jnp.float32)
+        scale = tcol @ ws + wsb
+        shift = tcol @ wb + wbb
+        if not deterministic and self.config.drop_path_rate > 0.0:
+            rate = (drop_path_rate if drop_path_rate is not None
+                    else self.drop_path)
+            keep = 1.0 - rate
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b, 1))
+            factor = mask.astype(jnp.float32) / keep
+            scale = scale * factor
+            shift = shift * factor
+        return scale, shift
+
     @nn.compact
     def __call__(self, x: jax.Array, time: Optional[jax.Array],
                  deterministic: bool = True,
@@ -137,7 +160,19 @@ class SwinBlock(nn.Module):
         windows = window_partition(hs, window)
 
         mask = shifted_window_mask(hpad, wpad, window, shift)
-        attn_out = WindowAttention(
+        # Fused attention-side tail (ops/mlp.py fused_proj_cln_dm): defer the
+        # output projection past window_reverse (proj and CLN are per-token
+        # channel ops, so they commute with the spatial reshuffle) and run
+        # proj + ConditionalLayerNorm + residual in one D-major kernel.
+        from ..ops.mlp import proj_cln_eligible
+
+        defer = (cfg.attention_impl == "pallas" and cfg.fused_attn_tail
+                 and cfg.use_conditioning and time is not None
+                 and (cfg.attention_probs_dropout_prob == 0.0 or deterministic)
+                 and not (hp or wp)
+                 and proj_cln_eligible(b, l, c,
+                                       jnp.dtype(self.dtype).itemsize))
+        attn_ret = WindowAttention(
             dim=self.dim,
             num_heads=self.num_heads,
             window_size=window,
@@ -149,21 +184,39 @@ class SwinBlock(nn.Module):
             impl=cfg.attention_impl,
             score_dtype=jnp.bfloat16 if cfg.score_dtype == "bfloat16" else jnp.float32,
             windows_per_image=(hpad // window) * (wpad // window),
+            defer_proj=defer,
             name="attn",
         )(windows, mask, deterministic)
 
-        hs = window_reverse(attn_out, window, hpad, wpad)
-        if shift > 0:
-            hs = jnp.roll(hs, (shift, shift), axis=(1, 2))
-        if hp or wp:
-            hs = hs[:, :h, :w]
-        hs = hs.reshape(b, l, c)
-
         norm_kw = dict(eps=cfg.layer_norm_eps, dtype=self.dtype,
                        initializer_range=cfg.initializer_range)
-        # Post-norm residual (SwinV2 order).
-        hs = make_norm(cfg.use_conditioning, c, name="norm_attn", **norm_kw)(hs, time)
-        x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
+        if defer:
+            from ..ops.mlp import fused_proj_cln
+
+            core, wp_k, proj_bias = attn_ret
+            # D-major window reverse of the raw core output: (B*nW, C, T) ->
+            # (B, C, H, W) -> (B, C, L).
+            a = core.reshape(b, h // window, w // window, c, window, window)
+            a = a.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
+            if shift > 0:
+                a = jnp.roll(a, (shift, shift), axis=(2, 3))
+            a = a.reshape(b, c, l)
+            cs, cb = self._fused_cln_cond(c, "norm_attn", time, b,
+                                          deterministic, drop_path_rate)
+            x = fused_proj_cln(a, shortcut, wp_k, proj_bias, cs, cb,
+                               eps=cfg.layer_norm_eps)
+        else:
+            hs = window_reverse(attn_ret, window, hpad, wpad)
+            if shift > 0:
+                hs = jnp.roll(hs, (shift, shift), axis=(1, 2))
+            if hp or wp:
+                hs = hs[:, :h, :w]
+            hs = hs.reshape(b, l, c)
+
+            # Post-norm residual (SwinV2 order).
+            hs = make_norm(cfg.use_conditioning, c, name="norm_attn",
+                           **norm_kw)(hs, time)
+            x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
 
         # The block MLP (HF Swinv2Intermediate/Output, modeling_swinv2.py:
         # 603-634). Params are held Dense-layout via _ProjParams so the XLA
@@ -191,25 +244,12 @@ class SwinBlock(nn.Module):
                                       jnp.dtype(self.dtype).itemsize,
                                       cln=True))
         if fused_tail:
-            from ..models.layers import CLNParams
             from ..ops.mlp import fused_mlp_cln
 
-            ws, wsb, wb, wbb = CLNParams(c, cfg.initializer_range,
-                                         name="norm_mlp")()
-            tcol = time.reshape(-1, 1).astype(jnp.float32)
-            scale = tcol @ ws + wsb
-            shift = tcol @ wb + wbb
-            if not deterministic and cfg.drop_path_rate > 0.0:
-                rate = (drop_path_rate if drop_path_rate is not None
-                        else self.drop_path)
-                keep = 1.0 - rate
-                mask = jax.random.bernoulli(self.make_rng("dropout"),
-                                            keep, (b, 1))
-                factor = mask.astype(jnp.float32) / keep
-                scale = scale * factor
-                shift = shift * factor
+            scale, shiftv = self._fused_cln_cond(c, "norm_mlp", time, b,
+                                                 deterministic, drop_path_rate)
             return fused_mlp_cln(x.astype(self.dtype), w1.astype(self.dtype),
-                                 b1, w2.astype(self.dtype), b2, scale, shift,
+                                 b1, w2.astype(self.dtype), b2, scale, shiftv,
                                  eps=cfg.layer_norm_eps)
 
         if cfg.attention_impl == "pallas":
@@ -248,7 +288,14 @@ class SwinBlock(nn.Module):
         windows = hs.transpose(0, 2, 4, 1, 3, 5).reshape(-1, c, window * window)
 
         mask = shifted_window_mask(h, w, window, shift)
-        attn_out = WindowAttention(
+        from ..ops.mlp import proj_cln_eligible
+
+        defer = (cfg.attention_impl == "pallas" and cfg.fused_attn_tail
+                 and cfg.use_conditioning and time is not None
+                 and (cfg.attention_probs_dropout_prob == 0.0 or deterministic)
+                 and proj_cln_eligible(b, l, c,
+                                       jnp.dtype(self.dtype).itemsize))
+        attn_ret = WindowAttention(
             dim=self.dim,
             num_heads=self.num_heads,
             window_size=window,
@@ -261,20 +308,33 @@ class SwinBlock(nn.Module):
             score_dtype=jnp.bfloat16 if cfg.score_dtype == "bfloat16" else jnp.float32,
             windows_per_image=(h // window) * (w // window),
             dm_io=True,
+            defer_proj=defer,
             name="attn",
         )(windows, mask, deterministic)
 
-        hs = attn_out.reshape(b, h // window, w // window, c, window, window)
+        norm_kw = dict(eps=cfg.layer_norm_eps, dtype=self.dtype,
+                       initializer_range=cfg.initializer_range)
+        if defer:
+            core, wp_k, proj_bias = attn_ret
+        else:
+            core = attn_ret
+        hs = core.reshape(b, h // window, w // window, c, window, window)
         hs = hs.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
         if shift > 0:
             hs = jnp.roll(hs, (shift, shift), axis=(2, 3))
         hs = hs.reshape(b, c, l)
 
-        norm_kw = dict(eps=cfg.layer_norm_eps, dtype=self.dtype,
-                       initializer_range=cfg.initializer_range)
-        hs = make_norm(cfg.use_conditioning, c, name="norm_attn", axis=1,
-                       **norm_kw)(hs, time)
-        x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
+        if defer:
+            from ..ops.mlp import fused_proj_cln_dm
+
+            cs, cb = self._fused_cln_cond(c, "norm_attn", time, b,
+                                          deterministic, drop_path_rate)
+            x = fused_proj_cln_dm(hs, shortcut, wp_k, proj_bias, cs, cb,
+                                  eps=cfg.layer_norm_eps)
+        else:
+            hs = make_norm(cfg.use_conditioning, c, name="norm_attn", axis=1,
+                           **norm_kw)(hs, time)
+            x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
 
         from .attention import _ProjParams
 
@@ -293,23 +353,10 @@ class SwinBlock(nn.Module):
                                       jnp.dtype(self.dtype).itemsize,
                                       cln=True))
         if fused_tail:
-            from ..models.layers import CLNParams
             from ..ops.mlp import fused_mlp_cln_dm
 
-            ws, wsb, wb, wbb = CLNParams(c, cfg.initializer_range,
-                                         name="norm_mlp")()
-            tcol = time.reshape(-1, 1).astype(jnp.float32)
-            scale = tcol @ ws + wsb
-            shiftv = tcol @ wb + wbb
-            if not deterministic and cfg.drop_path_rate > 0.0:
-                rate = (drop_path_rate if drop_path_rate is not None
-                        else self.drop_path)
-                keep = 1.0 - rate
-                mask_dp = jax.random.bernoulli(self.make_rng("dropout"),
-                                               keep, (b, 1))
-                factor = mask_dp.astype(jnp.float32) / keep
-                scale = scale * factor
-                shiftv = shiftv * factor
+            scale, shiftv = self._fused_cln_cond(c, "norm_mlp", time, b,
+                                                 deterministic, drop_path_rate)
             return fused_mlp_cln_dm(x.astype(self.dtype),
                                     w1.astype(self.dtype), b1,
                                     w2.astype(self.dtype), b2, scale, shiftv,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 # Reference scOT/train.py:16 — avoid HDF5 file-locking contention across
@@ -60,6 +61,20 @@ def read_cli(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     return parser
 
 
+_SCI_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _coerce_sci(v):
+    """pyyaml implements YAML 1.1, whose float regex requires a decimal
+    point before the exponent — ``1e-6`` (valid YAML 1.2, and what
+    json.dump emits for small floats) silently loads as a STRING and later
+    crashes the optimizer with a bewildering TypeError. Coerce such
+    strings back to float."""
+    if isinstance(v, str) and _SCI_FLOAT.match(v):
+        return float(v)
+    return v
+
+
 def load_config(params) -> dict:
     if params.json_config:
         return json.loads(params.config)
@@ -71,7 +86,8 @@ def load_config(params) -> dict:
 
             raw = yaml.safe_load(f)
     # Accept W&B-style {key: {value: ...}} nesting.
-    return {k: (v["value"] if isinstance(v, dict) and set(v) == {"value"} else v)
+    return {k: _coerce_sci(v["value"] if isinstance(v, dict)
+                           and set(v) == {"value"} else v)
             for k, v in raw.items()}
 
 

@@ -610,6 +610,19 @@ class Trainer:
         step = int(parts[2][4:]) if len(parts) > 2 else np.inf
         return (epoch, step)
 
+    @staticmethod
+    def _list_checkpoints(out_dir: str):
+        """Completed ``checkpoint-*`` dirs in chronological order. A process
+        killed mid-save leaves an Orbax ``*.orbax-checkpoint-tmp`` dir behind
+        — skip those (they are unreadable partial writes; the previous
+        complete checkpoint is the correct resume point)."""
+        if not os.path.isdir(out_dir):
+            return []
+        return sorted(
+            (d for d in os.listdir(out_dir)
+             if d.startswith("checkpoint-") and ".orbax-checkpoint-tmp" not in d),
+            key=Trainer._ckpt_sort_key)
+
     def save_checkpoint(self, out_dir: str, epoch: int, best_metric: float,
                         best: bool = False, batch_index: int = 0):
         import orbax.checkpoint as ocp
@@ -627,9 +640,7 @@ class Trainer:
         if not best and is_primary():
             # save_total_limit: drop older checkpoints (epoch or step)
             keep = self.args.save_total_limit
-            cks = sorted(
-                (d for d in os.listdir(out_dir) if d.startswith("checkpoint-")),
-                key=self._ckpt_sort_key)
+            cks = self._list_checkpoints(out_dir)
             for d in cks[:-keep] if keep else []:
                 shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
 
@@ -639,10 +650,7 @@ class Trainer:
         batch index of ``start_epoch`` (step-granular resume)."""
         import orbax.checkpoint as ocp
 
-        cks = sorted(
-            (d for d in os.listdir(out_dir) if d.startswith("checkpoint-"))
-            if os.path.isdir(out_dir) else [],
-            key=self._ckpt_sort_key)
+        cks = self._list_checkpoints(out_dir)
         if not cks:
             return None
         path = os.path.abspath(os.path.join(out_dir, cks[-1]))

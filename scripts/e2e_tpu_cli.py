@@ -98,7 +98,12 @@ def cli_cmd(config_path: str, data_dir: str, ckpt_dir: str, run_name: str,
 
 def run_until_ckpt(cmd, run_dir: str, kill_after_epoch: int, log_path: str):
     """Start the CLI; SIGKILL it once a mid-epoch checkpoint of
-    ``kill_after_epoch`` exists (plus a settle delay so the save finished)."""
+    ``kill_after_epoch`` is COMPLETE. Orbax writes into a
+    ``*.orbax-checkpoint-tmp`` dir and renames at finalize, so only the
+    final name counts — matching the tmp dir killed a save mid-write on the
+    first attempt (D2H through the tunnel outlives any settle delay; the
+    trainer now tolerates that orphan, but the designed scenario is a kill
+    BETWEEN saves)."""
     with open(log_path, "w") as log:
         proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
                                 cwd=REPO)
@@ -110,9 +115,9 @@ def run_until_ckpt(cmd, run_dir: str, kill_after_epoch: int, log_path: str):
                     f"run exited rc={proc.returncode} before the kill point; "
                     f"see {log_path}")
             cks = [d for d in (os.listdir(run_dir) if os.path.isdir(run_dir) else [])
-                   if d.startswith(f"checkpoint-{kill_after_epoch}-step")]
+                   if d.startswith(f"checkpoint-{kill_after_epoch}-step")
+                   and ".orbax-checkpoint-tmp" not in d]
             if cks:
-                time.sleep(10)  # let the orbax save fully commit
                 killed_at = sorted(cks)[-1]
                 proc.send_signal(signal.SIGKILL)
                 proc.wait()
@@ -171,11 +176,12 @@ def main():
     args = ap.parse_args()
 
     generate_data(args.data_dir)
-    config_path = os.path.join(args.data_dir, "e2e_run.yaml")
+    # .json extension so train.py's json.load branch handles it (YAML 1.1
+    # would mis-parse json.dump's exponent floats as strings; train.py also
+    # coerces those now, but don't rely on it here).
+    config_path = os.path.join(args.data_dir, "e2e_run.json")
     with open(config_path, "w") as f:
-        json.dump(CONFIG, f)  # yaml superset: json is valid yaml... but keep .yaml loader happy
-    # train.py loads non-.json files through yaml.safe_load, which parses
-    # JSON content fine.
+        json.dump(CONFIG, f)
 
     result = {"config": CONFIG, "backend": None}
 

@@ -445,6 +445,49 @@ class TestFlatOptimizer:
                 np.testing.assert_allclose(a, b, atol=1e-7, rtol=1e-6)
 
 
+class TestCheckpointListing:
+    """A SIGKILL during an Orbax save leaves a ``*.orbax-checkpoint-tmp``
+    dir; resume must skip it and fall back to the previous complete
+    checkpoint (caught live by scripts/e2e_tpu_cli.py RUN 1's kill landing
+    mid-write: the old sort key crashed on int('4.orbax'))."""
+
+    def test_tmp_dirs_skipped_and_order(self, tmp_path):
+        from poseidon_tpu.training.trainer import Trainer
+
+        for d in ["checkpoint-1", "checkpoint-2-step4.orbax-checkpoint-tmp",
+                  "checkpoint-0-step2", "checkpoint-0", "best", "notes"]:
+            (tmp_path / d).mkdir()
+        assert Trainer._list_checkpoints(str(tmp_path)) == [
+            "checkpoint-0-step2", "checkpoint-0", "checkpoint-1"]
+
+    def test_missing_dir(self):
+        from poseidon_tpu.training.trainer import Trainer
+
+        assert Trainer._list_checkpoints("/nonexistent/path") == []
+
+
+class TestConfigCoercion:
+    """YAML 1.1 (pyyaml) parses exponent-only floats like ``1e-6`` as
+    STRINGS; load_config must coerce them (they'd otherwise crash the
+    optimizer's ``wd * param`` with a TypeError)."""
+
+    def test_sci_notation_floats(self, tmp_path):
+        import argparse
+
+        import poseidon_tpu.train as train_cli
+
+        p = tmp_path / "c.yaml"
+        p.write_text("lr: 1e-4\nweight_decay: 1e-06\nname: run1e\n"
+                     "batch_size: 8\nwd2: {value: 5E+2}\n")
+        cfg = train_cli.load_config(
+            argparse.Namespace(json_config=False, config=str(p)))
+        assert cfg["lr"] == pytest.approx(1e-4)
+        assert cfg["weight_decay"] == pytest.approx(1e-6)
+        assert cfg["wd2"] == pytest.approx(500.0)
+        assert cfg["name"] == "run1e"        # non-numeric strings untouched
+        assert cfg["batch_size"] == 8
+
+
 class TestCompilationCacheWiring:
     """The production CLIs must enable the persistent compilation cache
     (VERDICT r4 item 4) — bench.py and __graft_entry__ already did."""
