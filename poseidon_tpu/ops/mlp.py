@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -805,7 +806,9 @@ def _sharded_core(m: int, granule: int = 1):
 # 1.3-1.7x faster when the fused-dw backward fits with a >=256 tile (stages
 # 0-1: C<=192) and SLOWER for wide-C/small-M stages (2-3), where XLA's two
 # plain GEMMs already sit near the floor — those fall back to XLA.
-_MIN_WIN_TILE = 256
+# POSEIDON_MLP_MIN_TILE overrides for geometry A/Bs (e.g. ScOT-L's stage-1
+# C=384 lands at tile 128, just under the B-derived threshold).
+_MIN_WIN_TILE = int(os.environ.get("POSEIDON_MLP_MIN_TILE", "256"))
 
 
 def fused_mlp(x, w1, b1, w2, b2):

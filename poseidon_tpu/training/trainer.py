@@ -634,9 +634,17 @@ class Trainer:
         else:
             name = f"checkpoint-{epoch}"
         path = os.path.abspath(os.path.join(out_dir, name))
+        tree = self._ckpt_tree(epoch, best_metric, batch_index)
+        if jax.process_count() == 1:
+            # Materialize to host FIRST via jax's own sequential transfer
+            # path. Handing device arrays to Orbax lets TensorStore issue
+            # concurrent chunked D2H reads, which can wedge the remote-TPU
+            # tunnel indefinitely (observed live in r5: saves froze at the
+            # metadata stage). With numpy leaves the Orbax save is pure host
+            # file IO. Multi-process saves keep the sharded-array path.
+            tree = jax.device_get(tree)
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, self._ckpt_tree(epoch, best_metric, batch_index),
-                       force=True)
+            ckptr.save(path, tree, force=True)
         if not best and is_primary():
             # save_total_limit: drop older checkpoints (epoch or step)
             keep = self.args.save_total_limit
@@ -696,11 +704,13 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         os.makedirs(out_dir, exist_ok=True)
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats or {}}
+        if jax.process_count() == 1:
+            tree = jax.device_get(tree)  # see save_checkpoint: tunnel-safe D2H
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(os.path.abspath(os.path.join(out_dir, "model")),
-                       {"params": self.state.params,
-                        "batch_stats": self.state.batch_stats or {}},
-                       force=True)
+                       tree, force=True)
         if is_primary():
             with open(os.path.join(out_dir, "config.json"), "w") as f:
                 f.write(self.config.to_json())

@@ -114,6 +114,11 @@ def run_until_ckpt(cmd, run_dir: str, kill_after_epoch: int, log_path: str):
                 raise RuntimeError(
                     f"run exited rc={proc.returncode} before the kill point; "
                     f"see {log_path}")
+            if time.time() - _latest_activity(log_path, run_dir) > STALL_S:
+                proc.kill()
+                raise RuntimeError(
+                    f"run made no progress for {STALL_S}s (tunnel outage?); "
+                    f"see {log_path}")
             cks = [d for d in (os.listdir(run_dir) if os.path.isdir(run_dir) else [])
                    if d.startswith(f"checkpoint-{kill_after_epoch}-step")
                    and ".orbax-checkpoint-tmp" not in d]
@@ -129,13 +134,42 @@ def run_until_ckpt(cmd, run_dir: str, kill_after_epoch: int, log_path: str):
     return killed_at
 
 
-def run_to_completion(cmd, log_path: str) -> None:
+STALL_S = 900  # no log/ckpt-dir activity for this long = tunnel-hung child
+
+
+def _latest_activity(log_path: str, watch_dir: str | None) -> float:
+    t = os.path.getmtime(log_path) if os.path.exists(log_path) else 0.0
+    if watch_dir and os.path.isdir(watch_dir):
+        for root, _, files in os.walk(watch_dir):
+            t = max(t, os.path.getmtime(root))
+            for fn in files:
+                try:
+                    t = max(t, os.path.getmtime(os.path.join(root, fn)))
+                except OSError:
+                    pass
+    return t
+
+
+def run_to_completion(cmd, log_path: str, watch_dir: str | None = None) -> None:
+    """Run the CLI to completion, killing it if it stalls (a child blocked on
+    D2H through a dead axon tunnel sleeps forever; observed live in r5)."""
     with open(log_path, "w") as log:
-        rc = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT,
-                             cwd=REPO, timeout=7200)
-    if rc != 0:
+        proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
+                                cwd=REPO)
+        deadline = time.time() + 7200
+        while proc.poll() is None:
+            if time.time() > deadline:
+                proc.kill()
+                raise RuntimeError("CLI run exceeded 7200s")
+            if time.time() - _latest_activity(log_path, watch_dir) > STALL_S:
+                proc.kill()
+                raise RuntimeError(
+                    f"CLI made no progress for {STALL_S}s (tunnel outage?); "
+                    f"see {log_path}")
+            time.sleep(15)
+    if proc.returncode != 0:
         tail = open(log_path).read()[-3000:]
-        raise RuntimeError(f"CLI failed rc={rc}:\n{tail}")
+        raise RuntimeError(f"CLI failed rc={proc.returncode}:\n{tail}")
 
 
 def read_logs(run_dir: str):
@@ -173,7 +207,33 @@ def main():
     ap.add_argument("--ckpt_dir", default="/tmp/e2e_ckpt")
     ap.add_argument("--out", default=os.path.join(REPO, "E2E_TPU_r05.json"))
     ap.add_argument("--kill_after_epoch", type=int, default=2)
+    ap.add_argument("--attempts", type=int, default=6)
     args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    # The axon tunnel can be DOWN for hours (r3/r5 outages), a child hung on
+    # D2H mid-save never exits, AND a hung bulk D2H wedges the tunnel for
+    # every process until the child is killed (observed live in r5: the
+    # first mid-epoch Orbax save froze at the metadata files twice in a
+    # row). Retry the WHOLE scenario from scratch, re-probing the backend
+    # between attempts — the stall detectors in run_until_ckpt /
+    # run_to_completion turn a wedge into a RuntimeError.
+    last_err = None
+    for attempt in range(args.attempts):
+        try:
+            _attempt(args)
+            return
+        except RuntimeError as e:
+            last_err = e
+            print(f"# attempt {attempt + 1} failed: {e}", flush=True)
+            time.sleep(60)  # let a killed child's tunnel session drain
+    raise SystemExit(f"all {args.attempts} attempts failed: {last_err}")
+
+
+def _attempt(args):
+    from bench import _wait_for_backend
+
+    _wait_for_backend(max_wait_s=6 * 3600.0)
 
     generate_data(args.data_dir)
     # .json extension so train.py's json.load branch handles it (YAML 1.1
@@ -207,7 +267,7 @@ def main():
     print("# RESUME...", flush=True)
     run_to_completion(
         cli_cmd(config_path, args.data_dir, args.ckpt_dir, "e2e-run",
-                resume=True), "/tmp/e2e_resume.log")
+                resume=True), "/tmp/e2e_resume.log", watch_dir=run_dir)
     entries = read_logs(run_dir)
     result["resume"] = {"wall_s": round(time.perf_counter() - t0, 1),
                         "first_step_s": first_steps(entries),
@@ -219,7 +279,7 @@ def main():
     print("# CONTROL (uninterrupted)...", flush=True)
     run_to_completion(
         cli_cmd(config_path, args.data_dir, args.ckpt_dir, "e2e-control"),
-        "/tmp/e2e_control.log")
+        "/tmp/e2e_control.log", watch_dir=ctrl_dir)
     centries = read_logs(ctrl_dir)
     result["control"] = {"wall_s": round(time.perf_counter() - t0, 1),
                          "first_step_s": first_steps(centries),
