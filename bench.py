@@ -134,8 +134,7 @@ def run_bench(size: str, batch: int, scan_len: int) -> dict:
 
     from poseidon_tpu import ScOT, make_config, scot_loss
     from poseidon_tpu.models.scot import apply_pixel_mask
-    from poseidon_tpu.training.optimizer import (build_flat_optimizer,
-                                                 build_optimizer)
+    from poseidon_tpu.training.optimizer import build_optimizer
     from poseidon_tpu.utils.init import shape_variables
 
     # Best measured config (round 3): unrolled stages, fused D-major Pallas
@@ -164,15 +163,10 @@ def run_bench(size: str, batch: int, scan_len: int) -> dict:
     # tree from eval_shape (instant) instead of compiling the init graph.
     variables = shape_variables(model, x, t, fill="normal")
     params = variables["params"]
-    # Grouped optax chain is the production optimizer: the flat-buffer AdamW
-    # (BENCH_OPT=flat) measures ~23 ms/step SLOWER at ScOT-B — its
-    # ravel_pytree of grads+params, unravel of updates, and the separate
-    # apply_updates pass add ~6 full HBM sweeps over the 157.7M-param state
-    # that the ~300 per-leaf fused loops never pay (r3 traces: flat ~29 ms
-    # of optimizer ops vs ~6.6 ms for the chain; wall 170.2 vs 147.9 ms).
-    builder = (build_flat_optimizer if os.environ.get("BENCH_OPT") == "flat"
-               else build_optimizer)
-    tx = builder(
+    # Grouped optax chain is the production optimizer (a flat-buffer AdamW
+    # A/B measured ~23 ms/step SLOWER at ScOT-B — r3 traces: ~29 ms of
+    # optimizer ops vs ~6.6 ms for the chain — and was deleted in r5).
+    tx = build_optimizer(
         params, learning_rate=1e-4, total_steps=10_000, weight_decay=1e-6,
         lr_scheduler_type="cosine", warmup_ratio=0.0, max_grad_norm=5.0)
     opt_state = jax.jit(tx.init)(params)

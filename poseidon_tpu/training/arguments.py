@@ -28,10 +28,6 @@ class TrainingArguments:
     lr_scheduler_type: str = "cosine"
     warmup_ratio: float = 0.0
     max_grad_norm: float = 1.0
-    # "grouped" (per-leaf optax chain, production default) or "flat"
-    # (flat-buffer AdamW; identical numerics but measured +23 ms/step at
-    # ScOT-B from ravel/unravel HBM sweeps — A/B knob, pure-DP meshes only).
-    optimizer_impl: str = "grouped"
     seed: int = 0
     logging_steps: int = 5
     # Evaluate/save every N epochs (1 = per-epoch like the reference; raise

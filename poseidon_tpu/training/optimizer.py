@@ -123,93 +123,3 @@ def build_optimizer(
     if max_grad_norm is not None and max_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx
-
-
-def build_flat_optimizer(
-    params,
-    *,
-    learning_rate: float,
-    total_steps: int,
-    weight_decay: float = 0.0,
-    lr_scheduler_type: str = "cosine",
-    warmup_ratio: float = 0.0,
-    learning_rate_embedding_recovery: Optional[float] = None,
-    learning_rate_time_embedding: Optional[float] = None,
-    adam_beta1: float = 0.9,
-    adam_beta2: float = 0.999,
-    adam_epsilon: float = 1e-8,
-    max_grad_norm: Optional[float] = None,
-) -> optax.GradientTransformation:
-    """AdamW with the same 4-group semantics as :func:`build_optimizer`, but
-    with the Adam moments held as ONE flat f32 vector and the whole update as
-    one fused elementwise pass. Numerically identical to the optax chain
-    (unit-tested); per-group learning rate and weight decay become a
-    (n_params,) uint8 group-id gather into two 4-entry tables.
-
-    NOT the production path: on the r3 ScOT-B b96 traces this measures
-    ~29 ms/step of optimizer ops vs ~6.6 ms for the per-leaf optax chain
-    (wall 170.2 vs 147.9 ms) — ravel_pytree of grads AND params, the
-    unravel of the updates, and optax.apply_updates' separate add are ~6
-    extra full HBM sweeps over the 157.7M-param state, which dwarf the ~300
-    per-leaf fused loops they replace. Kept as an opt-in A/B
-    (TrainingArguments.optimizer_impl="flat" / BENCH_OPT=flat).
-    """
-    import jax.numpy as jnp
-    from jax.flatten_util import ravel_pytree
-
-    use_emb = learning_rate_embedding_recovery is not None
-    use_time = learning_rate_time_embedding is not None
-    labels = label_params(params, use_emb, use_time)
-
-    group_lr = {"decay": learning_rate, "no_decay": learning_rate}
-    group_wd = {"decay": weight_decay, "no_decay": 0.0}
-    if use_emb:
-        group_lr["embeddings"] = learning_rate_embedding_recovery
-        group_wd["embeddings"] = weight_decay
-    if use_time:
-        group_lr["time_embedding"] = learning_rate_time_embedding
-        group_wd["time_embedding"] = 0.0
-    names = sorted(group_lr)
-    gmap = {g: i for i, g in enumerate(names)}
-
-    leaves = jax.tree_util.tree_leaves(params)
-    label_leaves = jax.tree_util.tree_leaves(labels)
-    import numpy as np
-
-    gid_np = np.concatenate([
-        np.full(int(np.prod(leaf.shape)), gmap[lab], np.uint8)
-        for leaf, lab in zip(leaves, label_leaves)])
-    gid = jnp.asarray(gid_np)
-    lr_tab = jnp.asarray([group_lr[g] for g in names], jnp.float32)
-    wd_tab = jnp.asarray([group_wd[g] for g in names], jnp.float32)
-    factor = make_lr_schedule(lr_scheduler_type, 1.0, total_steps,
-                              warmup_ratio)
-    n = int(gid_np.size)
-
-    def init_fn(params):
-        del params
-        return {"count": jnp.zeros((), jnp.int32),
-                "m": jnp.zeros((n,), jnp.float32),
-                "v": jnp.zeros((n,), jnp.float32)}
-
-    def update_fn(grads, state, params):
-        assert params is not None, "flat adamw needs params (weight decay)"
-        g, unravel = ravel_pytree(grads)
-        p, _ = ravel_pytree(params)
-        g = g.astype(jnp.float32)
-        if max_grad_norm is not None and max_grad_norm > 0:
-            # optax.clip_by_global_norm: g * (c / max(||g||, c))
-            norm = jnp.sqrt(jnp.sum(g * g))
-            g = g * (max_grad_norm / jnp.maximum(norm, max_grad_norm))
-        count = state["count"] + 1
-        cf = count.astype(jnp.float32)
-        m = adam_beta1 * state["m"] + (1.0 - adam_beta1) * g
-        v = adam_beta2 * state["v"] + (1.0 - adam_beta2) * g * g
-        mhat = m / (1.0 - adam_beta1 ** cf)
-        vhat = v / (1.0 - adam_beta2 ** cf)
-        lr_t = factor(state["count"]) * lr_tab[gid]
-        u = -lr_t * (mhat / (jnp.sqrt(vhat) + adam_epsilon)
-                     + wd_tab[gid] * p.astype(jnp.float32))
-        return unravel(u), {"count": count, "m": m, "v": v}
-
-    return optax.GradientTransformation(init_fn, update_fn)

@@ -29,7 +29,7 @@ from ..models.scot import ScOT, apply_pixel_mask, scot_loss
 from ..parallel.host import is_primary, process_count, process_index
 from ..parallel.mesh import batch_sharding, make_mesh, params_shardings, replicated
 from .arguments import TrainingArguments
-from .optimizer import build_flat_optimizer, build_optimizer
+from .optimizer import build_optimizer
 from .rollout import autoregressive_rollout_stateful
 
 
@@ -110,18 +110,14 @@ class Trainer:
         a = self.args
         total_steps = (self._steps_per_epoch() * a.num_train_epochs
                        if self.train_dataset is not None else 1)
-        # The grouped optax chain is the default everywhere: the flat-buffer
-        # AdamW's ravel_pytree of grads+params, unravel of updates, and
-        # separate apply pass cost ~6 extra full HBM sweeps over the param
-        # state — measured +23 ms/step at ScOT-B b96 on v5e (170.2 vs
-        # 147.9 ms wall), dwarfing the ~300 per-leaf loops it removes. It
-        # stays available as an opt-in (args.optimizer_impl="flat", pure-DP
-        # meshes only: under FSDP the moments must mirror the per-leaf param
-        # shardings).
-        use_flat = (getattr(self.args, "optimizer_impl", "grouped") == "flat"
-                    and self.mesh.shape.get("model", 1) == 1)
-        builder = build_flat_optimizer if use_flat else build_optimizer
-        tx = builder(
+        # The grouped optax chain is the only optimizer: a flat-buffer AdamW
+        # A/B (one f32 moment vector, fused update) was built in r3 and
+        # DELETED in r5 — numerically identical but measured +23 ms/step at
+        # ScOT-B b96 on v5e (170.2 vs 147.9 ms wall): its ravel_pytree of
+        # grads+params, unravel of updates, and separate apply pass cost ~6
+        # extra full HBM sweeps over the param state, dwarfing the ~300
+        # per-leaf loops it removed.
+        tx = build_optimizer(
             variables["params"],
             learning_rate=a.learning_rate,
             total_steps=max(total_steps, 1),

@@ -13,14 +13,14 @@ import os
 import time
 
 
-def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks=False, attention_impl="xla", fused_block_tail=True, flat_opt=False, dmajor=False, model_size="B", fused_attn_tail=False):
+def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks=False, attention_impl="xla", fused_block_tail=True, dmajor=False, model_size="B", fused_attn_tail=False):
     import jax
     import jax.numpy as jnp
     import optax
 
     from poseidon_tpu import ScOT, make_config, scot_loss
     from poseidon_tpu.models.scot import apply_pixel_mask
-    from poseidon_tpu.training.optimizer import build_optimizer, build_flat_optimizer
+    from poseidon_tpu.training.optimizer import build_optimizer
     from poseidon_tpu.utils.init import enable_compilation_cache, shape_variables
 
     enable_compilation_cache()
@@ -38,13 +38,8 @@ def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks
     pixel_mask = jnp.zeros((batch, 4), bool).at[:, 3].set(True)
     variables = shape_variables(model, x[:1], t[:1], fill="normal")
     params = variables["params"]
-    if flat_opt:  # the bench's fused flat-buffer AdamW (bench.py:91)
-        tx = build_flat_optimizer(params, learning_rate=1e-4, total_steps=10_000,
-                                  weight_decay=1e-6, lr_scheduler_type="cosine",
-                                  warmup_ratio=0.0, max_grad_norm=5.0)
-    else:
-        tx = build_optimizer(params, learning_rate=1e-4, total_steps=10_000,
-                             weight_decay=1e-6, max_grad_norm=5.0)
+    tx = build_optimizer(params, learning_rate=1e-4, total_steps=10_000,
+                         weight_decay=1e-6, max_grad_norm=5.0)
     opt_state = jax.jit(tx.init)(params)
 
     def train_step(params, opt_state, x, t, labels):
@@ -129,7 +124,6 @@ if __name__ == "__main__":
     ap.add_argument("--scan_blocks", action="store_true")
     ap.add_argument("--attention_impl", default="xla")
     ap.add_argument("--no_fused_tail", action="store_true")
-    ap.add_argument("--flat_opt", action="store_true")
     ap.add_argument("--dmajor", action="store_true")
     ap.add_argument("--fused_attn_tail", action="store_true")
     ap.add_argument("--analyze_only", action="store_true")
@@ -138,6 +132,6 @@ if __name__ == "__main__":
         os.makedirs(args.trace_dir, exist_ok=True)
         run_trace(args.batch, args.trace_dir, args.score_dtype, args.remat,
                   args.scan_blocks, args.attention_impl,
-                  not args.no_fused_tail, args.flat_opt, args.dmajor,
+                  not args.no_fused_tail, args.dmajor,
                   model_size=args.model, fused_attn_tail=args.fused_attn_tail)
     analyze(args.trace_dir)

@@ -387,64 +387,6 @@ class TestRemat:
                 np.asarray(a), np.asarray(b), atol=1e-5), g1, g2)
 
 
-class TestFlatOptimizer:
-    """build_flat_optimizer must be numerically identical to the optax
-    multi_transform chain in build_optimizer, across all four param groups,
-    clipping, schedule, and bias correction."""
-
-    def _params(self):
-        rng = np.random.default_rng(0)
-
-        def t(*s):
-            return jnp.asarray(rng.normal(size=s), jnp.float32)
-
-        return {
-            "embeddings": {"proj": {"kernel": t(4, 8), "bias": t(8)}},
-            "encoder": {
-                "block": {
-                    "mlp_fc1": {"kernel": t(8, 16), "bias": t(16)},
-                    "norm_mlp": {"cond_scale": {"kernel": t(1, 8),
-                                                "bias": t(8)},
-                                 "cond_shift": {"kernel": t(1, 8),
-                                                "bias": t(8)}},
-                    "logit_scale": t(2, 1, 1),
-                }
-            },
-        }
-
-    def test_matches_optax_chain(self):
-        import optax
-
-        from poseidon_tpu.training.optimizer import (build_flat_optimizer,
-                                                     build_optimizer)
-
-        params = self._params()
-        kw = dict(learning_rate=1e-3, total_steps=50, weight_decay=1e-2,
-                  lr_scheduler_type="cosine", warmup_ratio=0.1,
-                  learning_rate_embedding_recovery=2e-3,
-                  learning_rate_time_embedding=5e-4,
-                  max_grad_norm=0.5)
-        tx_ref = build_optimizer(params, **kw)
-        tx_flat = build_flat_optimizer(params, **kw)
-        s_ref = tx_ref.init(params)
-        s_flat = tx_flat.init(params)
-        p_ref = params
-        p_flat = params
-        rng = np.random.default_rng(1)
-        for step in range(4):
-            grads = jax.tree_util.tree_map(
-                lambda p: jnp.asarray(rng.normal(size=p.shape) * 3.0,
-                                      jnp.float32), p_ref)
-            u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
-            p_ref = optax.apply_updates(p_ref, u_ref)
-            u_flat, s_flat = tx_flat.update(grads, s_flat, p_flat)
-            p_flat = optax.apply_updates(p_flat, u_flat)
-            flat_a = jax.tree_util.tree_leaves(p_ref)
-            flat_b = jax.tree_util.tree_leaves(p_flat)
-            for a, b in zip(flat_a, flat_b):
-                np.testing.assert_allclose(a, b, atol=1e-7, rtol=1e-6)
-
-
 class TestCheckpointListing:
     """A SIGKILL during an Orbax save leaves a ``*.orbax-checkpoint-tmp``
     dir; resume must skip it and fall back to the previous complete
