@@ -807,8 +807,11 @@ def _sharded_core(m: int, granule: int = 1):
 # 0-1: C<=192) and SLOWER for wide-C/small-M stages (2-3), where XLA's two
 # plain GEMMs already sit near the floor — those fall back to XLA.
 # POSEIDON_MLP_MIN_TILE overrides for geometry A/Bs (e.g. ScOT-L's stage-1
-# C=384 lands at tile 128, just under the B-derived threshold).
-_MIN_WIN_TILE = int(os.environ.get("POSEIDON_MLP_MIN_TILE", "256"))
+# C=384 lands at tile 128, just under the B-derived threshold). Read per
+# call, not at import: the gate fires only at trace time, so a caller (e.g.
+# bench.py's L entry) can scope the override to one model build.
+def _min_win_tile() -> int:
+    return int(os.environ.get("POSEIDON_MLP_MIN_TILE", "256"))
 
 
 def fused_mlp(x, w1, b1, w2, b2):
@@ -840,7 +843,7 @@ def fused_mlp(x, w1, b1, w2, b2):
             return jnp.swapaxes(out, 1, 2)
     x2 = x.reshape(-1, c)
     mt, fused_dw = _pick_tile(x2.shape[0], c, f, x.dtype.itemsize)
-    if not (fused_dw and mt >= _MIN_WIN_TILE):
+    if not (fused_dw and mt >= _min_win_tile()):
         h = jax.nn.gelu(x2 @ w1 + b1.astype(x.dtype), approximate=False)
         return (h @ w2 + b2.astype(x.dtype)).reshape(*lead, c)
     granule = x.shape[1] if x.ndim == 3 else 1  # tokens per image

@@ -10,7 +10,12 @@ import glob
 import gzip
 import json
 import os
+import sys
 import time
+
+# Runnable as a bare subprocess (no PYTHONPATH): scripts/ is what python
+# puts on sys.path, the package root is one level up.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks=False, attention_impl="xla", fused_block_tail=True, dmajor=False, model_size="B", fused_attn_tail=False):

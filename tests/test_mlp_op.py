@@ -33,7 +33,7 @@ def _make(m, c, f, dtype=jnp.float32, seed=0):
 def always_kernel(monkeypatch):
     """Small test geometries would fall back to XLA via the win-threshold
     gate; force the kernel path so it is what gets exercised."""
-    monkeypatch.setattr(mlp_op, "_MIN_WIN_TILE", 8)
+    monkeypatch.setenv("POSEIDON_MLP_MIN_TILE", "8")
 
 
 @pytest.mark.parametrize("m,c", [(256, 96), (96, 32)])
@@ -64,7 +64,7 @@ def test_forward_leading_shape():
 @pytest.mark.parametrize("variant", ["fused", "emit"])
 def test_gradients_match_xla(variant, monkeypatch):
     m, c, f = 160, 32, 128  # M=160: exercises padded rows in the backward
-    monkeypatch.setattr(mlp_op, "_MIN_WIN_TILE", 8)
+    monkeypatch.setenv("POSEIDON_MLP_MIN_TILE", "8")
     if variant == "fused":
         monkeypatch.setattr(mlp_op, "_pick_tile", lambda *a: (64, True))
     else:
