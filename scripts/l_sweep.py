@@ -66,9 +66,9 @@ def device_spans_ms(trace_dir):
     return (spans[mid], busys[mid]) if spans else (None, None)
 
 
-def run_variant(name, batch, extra_args, env_extra, results, out):
-    trace_dir = f"/tmp/l_sweep_{name}"
-    cmd = [sys.executable, "scripts/profile_step.py", "--model", "L",
+def run_variant(name, batch, extra_args, env_extra, results, out, model="L"):
+    trace_dir = f"/tmp/l_sweep_{model}_{name}"
+    cmd = [sys.executable, "scripts/profile_step.py", "--model", model,
            "--batch", str(batch), "--attention_impl", "pallas",
            "--no_fused_tail", "--trace_dir", trace_dir] + extra_args
     env = dict(os.environ, **env_extra)
@@ -100,6 +100,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/l_sweep.json")
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--model", default="L",
+                    help="model size (the same gate A/Bs apply to B at b128)")
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names to run")
     args = ap.parse_args()
@@ -124,16 +126,19 @@ def main():
     for name, (xargs, env) in variants.items():
         if only and name not in only:
             continue
-        run_variant(name, args.batch, xargs, env, results, args.out)
+        run_variant(name, args.batch, xargs, env, results, args.out,
+                    model=args.model)
 
-    # Best-of at batch 96 (skip if everything failed).
+    # Best-of at batch 96 (L only: amortizes the optimizer HBM sweep; skip
+    # if everything failed).
     ok = {k: v for k, v in results.items() if "device_span_ms" in v
           and v["device_span_ms"]}
-    if ok and (only is None or "b96" in only):
+    if ok and args.model == "L" and (only is None or "b96" in only):
         best = min(ok, key=lambda k: ok[k]["device_span_ms"])
         print(f"# best at b{args.batch}: {best}", flush=True)
         xargs, env = variants[best]
-        run_variant(f"b96_{best}", 96, xargs, env, results, args.out)
+        run_variant(f"b96_{best}", 96, xargs, env, results, args.out,
+                    model=args.model)
 
     print(json.dumps(results, indent=2))
 
