@@ -121,6 +121,10 @@ def main():
                         {"POSEIDON_MLP_MIN_TILE": "128"}),
         "mt128": ([], {"POSEIDON_MLP_MIN_TILE": "128"}),
         "atail": (["--fused_attn_tail"], {}),
+        # knob-decision evidence (VERDICT r4 item 9): dmajor_stream was
+        # neutral at B b128; L's wider C doubles the per-block relayout
+        # volume, the one geometry where it could still win.
+        "dmajor": (["--dmajor"], {}),
     }
     only = set(args.only.split(",")) if args.only else None
     for name, (xargs, env) in variants.items():
