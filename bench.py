@@ -149,8 +149,7 @@ def run_bench(size: str, batch: int, scan_len: int) -> dict:
     # attention, b96) -> 649 (fused pallas MLP) -> 664.9 samples/s (b128).
     cfg = make_config(size, image_size=128, num_channels=4, num_out_channels=4,
                       channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
-                      score_dtype="bfloat16", attention_impl="pallas",
-                      fused_attn_tail=bool(os.environ.get("BENCH_ATTN_TAIL")))
+                      score_dtype="bfloat16", attention_impl="pallas")
     model = ScOT(config=cfg, dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)

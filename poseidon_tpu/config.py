@@ -73,22 +73,14 @@ class ScOTConfig:
     # fuses the norm+residual into neighbors more cheaply than the kernel's
     # recompute epilogue. Kept as an A/B knob; numerics agree either way.
     fused_block_tail: bool = False
-    # Under attention_impl="pallas": fuse output-projection +
-    # ConditionalLayerNorm + residual into one D-major kernel for the
-    # lane-aligned stages (ops/mlp.py fused_proj_cln_dm) — the attention-side
-    # counterpart of fused_block_tail. Unlike the MLP tail (whose backward
-    # recompute pays two full (C, 4C) GEMMs), the recompute here is a single
-    # (C, C) GEMM, so the norm+upcast+residual pass savings dominate.
-    fused_attn_tail: bool = False
-    # Under attention_impl="pallas": carry the residual stream D-major
-    # ((B, C, L) instead of (B, L, C)) through whole lane-aligned stages —
-    # the window partition/reverse, attention projections, conditional
-    # layernorms, residual adds and block MLP all run in the fused attention
-    # kernel's native layout, converting once per STAGE instead of twice per
-    # BLOCK (VERDICT r3 item 1: the 21-22 ms/step copy bucket is dominated
-    # by per-block relayouts of the stage-0/1 streams). Numerically
-    # equivalent (CLN reductions stay fp32; kernels unchanged).
-    dmajor_stream: bool = False
+    # Under attention_impl="pallas": minimum token tile for the row-flattened
+    # fused MLP kernel to beat XLA (None -> the POSEIDON_MLP_MIN_TILE env
+    # gate, default 256 — the threshold measured on ScOT-B's geometries,
+    # scripts/mlp_roofline.py). ScOT-L's stage-1 (C=384, F=1536) caps at
+    # token tile 128 for VMEM — just under the B-derived gate — yet the
+    # kernel WINS at L's shapes (r5 sweep: 235.7 ms device span vs 238.5
+    # base at b64), so make_config("L") sets 128.
+    mlp_min_win_tile: Optional[int] = None
 
     def __post_init__(self):
         object.__setattr__(self, "depths", tuple(self.depths))
@@ -210,5 +202,9 @@ def make_config(
         learn_residual=False,
     )
     base.update(MODEL_MAP[model_name])
+    if model_name == "L":
+        # Measured on-device (r5 L sweep, BASELINE.md): the fused MLP kernel
+        # wins at L's stage shapes with a 128 token tile; B's gate stays 256.
+        base["mlp_min_win_tile"] = 128
     base.update(overrides)
     return ScOTConfig(**base)

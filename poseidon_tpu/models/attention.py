@@ -146,18 +146,6 @@ class WindowAttention(nn.Module):
     # for unshifted blocks) — the fused kernels need it to keep data-mesh
     # shards whole-image aligned.
     windows_per_image: int = 1
-    # D-major I/O (config.dmajor_stream): x is (N, C, T) and the output is
-    # (N, C, T) — the QKV GEMM contracts the sublane axis and the output
-    # projection emits D-major, so the whole block stays in one layout.
-    # Param tree is identical either way.
-    dm_io: bool = False
-    # Defer the output projection to the caller: return the raw D-major
-    # (N, C, T) attention-core output plus (proj_kernel, proj_bias) so the
-    # block can fuse proj+CLN+residual AFTER window_reverse (both are
-    # per-token channel ops and commute with the spatial reshuffle; see
-    # ops/mlp.py::fused_proj_cln_dm). Pallas impl only; the param tree is
-    # unchanged (proj params are still created here).
-    defer_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -166,10 +154,7 @@ class WindowAttention(nn.Module):
         mask: Optional[np.ndarray],
         deterministic: bool = True,
     ) -> jax.Array:
-        if self.dm_io:
-            bnw, c, t = x.shape
-        else:
-            bnw, t, c = x.shape
+        bnw, t, c = x.shape
         heads, hd = self.num_heads, self.dim // self.num_heads
         init = normal_init(self.initializer_range)
         dense = functools.partial(
@@ -226,9 +211,8 @@ class WindowAttention(nn.Module):
             # in-kernel, and the backward emits a single (3, N, C, T)
             # cotangent the GEMM transpose consumes without a concat (the
             # r4 provenance table attributed ~6 ms/step to the old
-            # split/concat copies). With dm_io the input already IS D-major:
-            # contract the sublane axis.
-            qkv_eq3 = "nct,csm->snmt" if self.dm_io else "ntc,csm->snmt"
+            # split/concat copies).
+            qkv_eq3 = "ntc,csm->snmt"
             p = _pick_pack(m.shape[0], heads, t)
             if p > 1:
                 # Small-T stages (2-3) run block-diagonally head-packed in the
@@ -257,9 +241,6 @@ class WindowAttention(nn.Module):
                 # it against the correspondingly row-permuted proj kernel.
                 wp_k = (wp[0].reshape(hp, p, hd, c).transpose(0, 2, 1, 3)
                         .reshape(c, c))
-                # Packed C order is an INPUT-row permutation only — wp_k's
-                # output columns stay in natural order, so deferred callers
-                # contract it identically.
             else:
                 w3 = jnp.stack([wq[0], wk[0], wv[0]], axis=1).astype(self.dtype)
                 qkv3 = jnp.einsum(qkv_eq3, x.astype(self.dtype), w3)
@@ -269,28 +250,15 @@ class WindowAttention(nn.Module):
                     qkv3, qb, bias, m, scale, heads, packed_p=1,
                     windows_per_image=self.windows_per_image)
                 wp_k = wp[0]
-            if self.defer_proj:
-                assert not (self.proj_drop > 0.0 and not deterministic), \
-                    "defer_proj callers must gate on proj dropout"
-                return out, wp_k.astype(self.dtype), proj_bias
             # Project straight out of the D-major world: (N, C, T) @ (C, C)
-            # contracting the sublane axis -> token-major (N, T, C) for the
-            # classic stream, or D-major (N, C', T) when dm_io — either way
-            # no explicit relayout copy.
-            if self.dm_io:
-                out = jnp.einsum("nct,co->not", out, wp_k.astype(self.dtype)) \
-                    + proj_bias.astype(self.dtype)[:, None]
-            else:
-                out = jnp.einsum("nct,co->nto", out, wp_k.astype(self.dtype)) \
-                    + proj_bias.astype(self.dtype)
+            # contracting the sublane axis -> token-major (N, T, C) with no
+            # explicit relayout copy.
+            out = jnp.einsum("nct,co->nto", out, wp_k.astype(self.dtype)) \
+                + proj_bias.astype(self.dtype)
             if self.proj_drop > 0.0 and not deterministic:
                 out = nn.Dropout(self.proj_drop)(out, deterministic=False)
             return out
 
-        if self.dm_io:
-            # Rare fallback (attention dropout active under dm_io): run the
-            # token-major math between explicit layout conversions.
-            x = jnp.swapaxes(x, 1, 2)
         qkv = jnp.dot(x.astype(self.dtype), w_qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.qkv_bias:
@@ -345,7 +313,7 @@ class WindowAttention(nn.Module):
         out = dense(self.dim, name="proj")(out)
         if self.proj_drop > 0.0 and not deterministic:
             out = nn.Dropout(self.proj_drop)(out, deterministic=False)
-        return jnp.swapaxes(out, 1, 2) if self.dm_io else out
+        return out
 
     def _position_bias(self) -> jax.Array:
         """CPB MLP over the static log-coord table, expanded to (heads, T, T),

@@ -64,9 +64,7 @@ class ConditionalLayerNorm(nn.Module):
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
     initializer_range: float = 0.02
-    # Feature (channel) axis. -1 for the token-major (B, L, C) stream;
-    # 1 for the D-major (B, C, L) stream (config.dmajor_stream) — the fp32
-    # reduction math is identical, only the layout differs.
+    # Feature (channel) axis (reductions stay fp32 regardless of layout).
     axis: int = -1
 
     @nn.compact

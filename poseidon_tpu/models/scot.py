@@ -85,11 +85,7 @@ def fft_upsample(x: jax.Array, target_size: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 class SwinBlock(nn.Module):
-    """One post-norm Swin transformer block on a (B, L, C) token map —
-    or, with ``dm=True`` (config.dmajor_stream), on a D-major (B, C, L)
-    map: window partition/reverse, attention I/O, norms, MLP and residual
-    adds all stay in the fused kernels' native layout, so the stream is
-    never relaid out inside a stage."""
+    """One post-norm Swin transformer block on a (B, L, C) token map."""
 
     config: ScOTConfig
     dim: int
@@ -97,7 +93,6 @@ class SwinBlock(nn.Module):
     resolution: int  # stage token-grid side length
     shifted: bool
     drop_path: float
-    dm: bool = False
     dtype: Dtype = jnp.float32
 
     def _drop_path(self, h: jax.Array, rate_traced, deterministic: bool) -> jax.Array:
@@ -139,8 +134,6 @@ class SwinBlock(nn.Module):
     def __call__(self, x: jax.Array, time: Optional[jax.Array],
                  deterministic: bool = True,
                  drop_path_rate: Optional[jax.Array] = None) -> jax.Array:
-        if self.dm:
-            return self._forward_dm(x, time, deterministic, drop_path_rate)
         cfg = self.config
         h = w = self.resolution
         window = min(cfg.window_size, h)
@@ -160,18 +153,6 @@ class SwinBlock(nn.Module):
         windows = window_partition(hs, window)
 
         mask = shifted_window_mask(hpad, wpad, window, shift)
-        # Fused attention-side tail (ops/mlp.py fused_proj_cln_dm): defer the
-        # output projection past window_reverse (proj and CLN are per-token
-        # channel ops, so they commute with the spatial reshuffle) and run
-        # proj + ConditionalLayerNorm + residual in one D-major kernel.
-        from ..ops.mlp import proj_cln_eligible
-
-        defer = (cfg.attention_impl == "pallas" and cfg.fused_attn_tail
-                 and cfg.use_conditioning and time is not None
-                 and (cfg.attention_probs_dropout_prob == 0.0 or deterministic)
-                 and not (hp or wp)
-                 and proj_cln_eligible(b, l, c,
-                                       jnp.dtype(self.dtype).itemsize))
         attn_ret = WindowAttention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -184,39 +165,22 @@ class SwinBlock(nn.Module):
             impl=cfg.attention_impl,
             score_dtype=jnp.bfloat16 if cfg.score_dtype == "bfloat16" else jnp.float32,
             windows_per_image=(hpad // window) * (wpad // window),
-            defer_proj=defer,
             name="attn",
         )(windows, mask, deterministic)
 
         norm_kw = dict(eps=cfg.layer_norm_eps, dtype=self.dtype,
                        initializer_range=cfg.initializer_range)
-        if defer:
-            from ..ops.mlp import fused_proj_cln
+        hs = window_reverse(attn_ret, window, hpad, wpad)
+        if shift > 0:
+            hs = jnp.roll(hs, (shift, shift), axis=(1, 2))
+        if hp or wp:
+            hs = hs[:, :h, :w]
+        hs = hs.reshape(b, l, c)
 
-            core, wp_k, proj_bias = attn_ret
-            # D-major window reverse of the raw core output: (B*nW, C, T) ->
-            # (B, C, H, W) -> (B, C, L).
-            a = core.reshape(b, h // window, w // window, c, window, window)
-            a = a.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
-            if shift > 0:
-                a = jnp.roll(a, (shift, shift), axis=(2, 3))
-            a = a.reshape(b, c, l)
-            cs, cb = self._fused_cln_cond(c, "norm_attn", time, b,
-                                          deterministic, drop_path_rate)
-            x = fused_proj_cln(a, shortcut, wp_k, proj_bias, cs, cb,
-                               eps=cfg.layer_norm_eps)
-        else:
-            hs = window_reverse(attn_ret, window, hpad, wpad)
-            if shift > 0:
-                hs = jnp.roll(hs, (shift, shift), axis=(1, 2))
-            if hp or wp:
-                hs = hs[:, :h, :w]
-            hs = hs.reshape(b, l, c)
-
-            # Post-norm residual (SwinV2 order).
-            hs = make_norm(cfg.use_conditioning, c, name="norm_attn",
-                           **norm_kw)(hs, time)
-            x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
+        # Post-norm residual (SwinV2 order).
+        hs = make_norm(cfg.use_conditioning, c, name="norm_attn",
+                       **norm_kw)(hs, time)
+        x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
 
         # The block MLP (HF Swinv2Intermediate/Output, modeling_swinv2.py:
         # 603-634). Params are held Dense-layout via _ProjParams so the XLA
@@ -256,7 +220,8 @@ class SwinBlock(nn.Module):
             from ..ops.mlp import fused_mlp
 
             mlp = fused_mlp(x.astype(self.dtype), w1.astype(self.dtype),
-                            b1, w2.astype(self.dtype), b2)
+                            b1, w2.astype(self.dtype), b2,
+                            min_win_tile=cfg.mlp_min_win_tile)
         else:
             mlp = gelu_exact(x.astype(self.dtype) @ w1.astype(self.dtype)
                              + b1.astype(self.dtype))
@@ -264,112 +229,6 @@ class SwinBlock(nn.Module):
         if cfg.hidden_dropout_prob > 0.0 and not deterministic:
             mlp = nn.Dropout(cfg.hidden_dropout_prob)(mlp, deterministic=False)
         mlp = make_norm(cfg.use_conditioning, c, name="norm_mlp", **norm_kw)(mlp, time)
-        return x + self._drop_path(mlp, drop_path_rate, deterministic)
-
-
-    def _forward_dm(self, x: jax.Array, time: Optional[jax.Array],
-                    deterministic: bool, drop_path_rate) -> jax.Array:
-        """D-major block body: x is (B, C, L); the caller (Encoder/Decoder)
-        guarantees no window padding (h % window == 0) and converts the
-        stream once per stage."""
-        cfg = self.config
-        h = w = self.resolution
-        window = min(cfg.window_size, h)
-        shift = (cfg.window_size // 2) if (self.shifted and h > window) else 0
-        b, c, l = x.shape
-
-        shortcut = x
-        hs = x.reshape(b, c, h, w)
-        if shift > 0:
-            hs = jnp.roll(hs, (-shift, -shift), axis=(2, 3))
-        # D-major window partition: (B, C, H, W) -> (B*nW, C, T); the lane
-        # (minormost) axis stays the spatial one throughout.
-        hs = hs.reshape(b, c, h // window, window, w // window, window)
-        windows = hs.transpose(0, 2, 4, 1, 3, 5).reshape(-1, c, window * window)
-
-        mask = shifted_window_mask(h, w, window, shift)
-        from ..ops.mlp import proj_cln_eligible
-
-        defer = (cfg.attention_impl == "pallas" and cfg.fused_attn_tail
-                 and cfg.use_conditioning and time is not None
-                 and (cfg.attention_probs_dropout_prob == 0.0 or deterministic)
-                 and proj_cln_eligible(b, l, c,
-                                       jnp.dtype(self.dtype).itemsize))
-        attn_ret = WindowAttention(
-            dim=self.dim,
-            num_heads=self.num_heads,
-            window_size=window,
-            qkv_bias=cfg.qkv_bias,
-            attn_drop=cfg.attention_probs_dropout_prob,
-            proj_drop=cfg.attention_probs_dropout_prob,
-            dtype=self.dtype,
-            initializer_range=cfg.initializer_range,
-            impl=cfg.attention_impl,
-            score_dtype=jnp.bfloat16 if cfg.score_dtype == "bfloat16" else jnp.float32,
-            windows_per_image=(h // window) * (w // window),
-            dm_io=True,
-            defer_proj=defer,
-            name="attn",
-        )(windows, mask, deterministic)
-
-        norm_kw = dict(eps=cfg.layer_norm_eps, dtype=self.dtype,
-                       initializer_range=cfg.initializer_range)
-        if defer:
-            core, wp_k, proj_bias = attn_ret
-        else:
-            core = attn_ret
-        hs = core.reshape(b, h // window, w // window, c, window, window)
-        hs = hs.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
-        if shift > 0:
-            hs = jnp.roll(hs, (shift, shift), axis=(2, 3))
-        hs = hs.reshape(b, c, l)
-
-        if defer:
-            from ..ops.mlp import fused_proj_cln_dm
-
-            cs, cb = self._fused_cln_cond(c, "norm_attn", time, b,
-                                          deterministic, drop_path_rate)
-            x = fused_proj_cln_dm(hs, shortcut, wp_k, proj_bias, cs, cb,
-                                  eps=cfg.layer_norm_eps)
-        else:
-            hs = make_norm(cfg.use_conditioning, c, name="norm_attn", axis=1,
-                           **norm_kw)(hs, time)
-            x = shortcut + self._drop_path(hs, drop_path_rate, deterministic)
-
-        from .attention import _ProjParams
-
-        f = int(cfg.mlp_ratio * c)
-        w1, b1 = _ProjParams(c, f, True, cfg.initializer_range,
-                             name="mlp_fc1")()
-        w2, b2 = _ProjParams(f, c, True, cfg.initializer_range,
-                             name="mlp_fc2")()
-
-        from ..ops.mlp import dm_eligible
-
-        fused_tail = (cfg.fused_block_tail and cfg.use_conditioning
-                      and time is not None
-                      and (cfg.hidden_dropout_prob == 0.0 or deterministic)
-                      and dm_eligible((b, l, c), c, f,
-                                      jnp.dtype(self.dtype).itemsize,
-                                      cln=True))
-        if fused_tail:
-            from ..ops.mlp import fused_mlp_cln_dm
-
-            scale, shiftv = self._fused_cln_cond(c, "norm_mlp", time, b,
-                                                 deterministic, drop_path_rate)
-            return fused_mlp_cln_dm(x.astype(self.dtype),
-                                    w1.astype(self.dtype), b1,
-                                    w2.astype(self.dtype), b2, scale, shiftv,
-                                    eps=cfg.layer_norm_eps)
-
-        from ..ops.mlp import fused_mlp_dm
-
-        mlp = fused_mlp_dm(x.astype(self.dtype), w1.astype(self.dtype), b1,
-                           w2.astype(self.dtype), b2)
-        if cfg.hidden_dropout_prob > 0.0 and not deterministic:
-            mlp = nn.Dropout(cfg.hidden_dropout_prob)(mlp, deterministic=False)
-        mlp = make_norm(cfg.use_conditioning, c, name="norm_mlp", axis=1,
-                        **norm_kw)(mlp, time)
         return x + self._drop_path(mlp, drop_path_rate, deterministic)
 
 
@@ -385,13 +244,12 @@ class BlockPair(nn.Module):
     resolution: int
     shifted_first: bool
     deterministic: bool
-    dm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, time: Optional[jax.Array], dpr_pair: jax.Array):
         kw = dict(config=self.config, dim=self.dim, num_heads=self.num_heads,
-                  resolution=self.resolution, drop_path=0.0, dm=self.dm,
+                  resolution=self.resolution, drop_path=0.0,
                   dtype=self.dtype)
         x = SwinBlock(shifted=self.shifted_first, name="block_a", **kw)(
             x, time, self.deterministic, drop_path_rate=dpr_pair[0])
@@ -426,7 +284,7 @@ def _remat_block(cls, remat, **remat_kw):
 
 def _scan_stage(parent_cfg: ScOTConfig, *, dim: int, num_heads: int,
                 resolution: int, shifted_first: bool, deterministic: bool,
-                dtype, remat, name: str, dm: bool = False):
+                dtype, remat, name: str):
     """Build the nn.scan-wrapped BlockPair for one stage."""
     body = _remat_block(BlockPair, remat, prevent_cse=False)
     scanned = nn.scan(
@@ -438,24 +296,12 @@ def _scan_stage(parent_cfg: ScOTConfig, *, dim: int, num_heads: int,
     )
     return scanned(config=parent_cfg, dim=dim, num_heads=num_heads,
                    resolution=resolution, shifted_first=shifted_first,
-                   deterministic=deterministic, dm=dm, dtype=dtype, name=name)
+                   deterministic=deterministic, dtype=dtype, name=name)
 
 
 # ---------------------------------------------------------------------------
 # Encoder / decoder
 # ---------------------------------------------------------------------------
-
-def _stage_dm(cfg: ScOTConfig, res: int) -> bool:
-    """True when a stage carries its residual stream D-major
-    (config.dmajor_stream): needs the pallas attention path, a pad-free
-    window grid, and a lane-aligned token count (L % 128) so the fused MLP
-    kernel applies — for the flagship 128/16 geometry that's stages 0-1,
-    exactly where the stream is big enough for per-block relayouts to
-    dominate the copy budget."""
-    if not (cfg.dmajor_stream and cfg.attention_impl == "pallas"):
-        return False
-    window = min(cfg.window_size, res)
-    return res % window == 0 and (res * res) % 128 == 0
 
 
 def _drop_path_rates(cfg: ScOTConfig) -> Tuple[List[float], List[float]]:
@@ -486,16 +332,13 @@ class Encoder(nn.Module):
             depth = cfg.depths[i]
             stage_input = x
             offset = sum(cfg.depths[:i])
-            dm = _stage_dm(cfg, res)
-            if dm:
-                x = jnp.swapaxes(x, 1, 2)  # once per stage, not per block
             if cfg.scan_blocks and depth >= 2 and depth % 2 == 0:
                 dpr_stage = jnp.asarray(
                     dpr[offset:offset + depth], jnp.float32).reshape(depth // 2, 2)
                 x, _ = _scan_stage(
                     cfg, dim=dim, num_heads=cfg.num_heads[i], resolution=res,
                     shifted_first=False, deterministic=deterministic,
-                    dtype=self.dtype, remat=self.remat, dm=dm,
+                    dtype=self.dtype, remat=self.remat,
                     name=f"stage_{i}_pairs",
                 )(x, time, dpr_stage)
             else:
@@ -503,11 +346,9 @@ class Encoder(nn.Module):
                     x = block_cls(
                         config=cfg, dim=dim, num_heads=cfg.num_heads[i],
                         resolution=res, shifted=(j % 2 == 1),
-                        drop_path=dpr[offset + j], dm=dm, dtype=self.dtype,
+                        drop_path=dpr[offset + j], dtype=self.dtype,
                         name=f"stage_{i}_block_{j}",
                     )(x, time, deterministic)
-            if dm:
-                x = jnp.swapaxes(x, 1, 2)
             skips.append(x)
             # Reference API-surface parity (output_hidden_states,
             # Swinv2EncoderOutput at model.py:1094-1099): capture with
@@ -549,9 +390,6 @@ class Decoder(nn.Module):
             dim = cfg.stage_dim(lvl)
             depth = cfg.depths[lvl]
             lo = sum(cfg.depths[lvl + 1:])
-            dm = _stage_dm(cfg, res)
-            if dm:
-                x = jnp.swapaxes(x, 1, 2)  # once per stage, not per block
             if cfg.scan_blocks and depth >= 2 and depth % 2 == 0:
                 # Even depth: executed blocks alternate shifted-first
                 # (the reference builds decode blocks in reversed order).
@@ -560,7 +398,7 @@ class Decoder(nn.Module):
                 x, _ = _scan_stage(
                     cfg, dim=dim, num_heads=cfg.num_heads[lvl], resolution=res,
                     shifted_first=True, deterministic=deterministic,
-                    dtype=self.dtype, remat=self.remat, dm=dm,
+                    dtype=self.dtype, remat=self.remat,
                     name=f"stage_{lvl}_pairs",
                 )(x, time, dpr_stage)
             else:
@@ -569,11 +407,9 @@ class Decoder(nn.Module):
                     x = block_cls(
                         config=cfg, dim=dim, num_heads=cfg.num_heads[lvl],
                         resolution=res, shifted=((depth - 1 - j) % 2 == 1),
-                        drop_path=dpr[lo + j], dm=dm, dtype=self.dtype,
+                        drop_path=dpr[lo + j], dtype=self.dtype,
                         name=f"stage_{lvl}_block_{j}",
                     )(x, time, deterministic)
-            if dm:
-                x = jnp.swapaxes(x, 1, 2)
             self.sow("intermediates", "hidden_states", x)
             if lvl > 0:
                 x = PatchUnmerging(

@@ -409,42 +409,6 @@ def dm_eligible(x_shape, c: int, f: int, itemsize: int,
     return need <= vmem_budget_bytes()
 
 
-def fused_mlp_dm(x_dm, w1, b1, w2, b2):
-    """D-major-native fused MLP: ``x_dm`` is (B, C, L) — the residual-stream
-    layout of ``config.dmajor_stream`` — consumed and emitted with NO
-    swapaxes (the kernel is D-major already; :func:`fused_mlp` pays the
-    logical transpose only because its public contract is token-major)."""
-    b, c, l = x_dm.shape
-    f = w1.shape[1]
-    from ..utils.device import vmem_budget_bytes
-
-    if l % 128 == 0 and _dm_vmem_need(c, f, l, x_dm.dtype.itemsize) \
-            <= vmem_budget_bytes():
-        return _shard_over_data(_mlp_core_dm, b)(x_dm, w1, b1, w2, b2)
-    # Fallback (ineligible geometry): XLA GEMMs contracting the sublane axis.
-    u = jnp.einsum("ncl,cf->nfl", x_dm, w1) + b1.astype(x_dm.dtype)[:, None]
-    g = jax.nn.gelu(u, approximate=False)
-    return jnp.einsum("nfl,fc->ncl", g, w2) + b2.astype(x_dm.dtype)[:, None]
-
-
-def fused_mlp_cln_dm(x_dm, w1, b1, w2, b2, scale, shift, eps=1e-5):
-    """D-major-native :func:`fused_mlp_cln` (no swapaxes; see fused_mlp_dm)."""
-    b, c, l = x_dm.shape
-    assert dm_eligible((b, l, c), c, w1.shape[1], x_dm.dtype.itemsize,
-                       cln=True)
-    import functools as _ft
-
-    from jax.sharding import PartitionSpec as P
-
-    from ..parallel.mesh import maybe_shard_map_data
-
-    core = maybe_shard_map_data(
-        _ft.partial(_mlp_cln_core, float(eps)), b, 1,
-        in_specs=(P("data"), P(), P(), P(), P(), P("data"), P("data")),
-        out_specs=P("data"))
-    return core(x_dm, w1, b1, w2, b2, scale, shift)
-
-
 def fused_mlp_cln(x, w1, b1, w2, b2, scale, shift, eps=1e-5):
     """Fused SwinBlock tail: ``x + scale * cln(mlp(x)) + shift`` with
     per-sample conditioning.
@@ -470,183 +434,6 @@ def fused_mlp_cln(x, w1, b1, w2, b2, scale, shift, eps=1e-5):
         in_specs=(P("data"), P(), P(), P(), P(), P("data"), P("data")),
         out_specs=P("data"))
     out = core(xt, w1, b1, w2, b2, scale, shift)
-    return jnp.swapaxes(out, 1, 2)
-
-
-# ---------------------------------------------------------------------------
-# D-major attention-side block tail, fully fused:
-#
-#     out = shortcut + s * cln(a @ Wp + bp) + b
-#
-# i.e. the output projection of the window attention PLUS the post-attention
-# ConditionalLayerNorm PLUS the residual add (reference model.py:563-574 via
-# HF Swinv2SelfOutput + the post-norm residual). Both the projection and the
-# CLN are per-token channel ops, so they COMMUTE with window_reverse/roll —
-# the caller window-reverses the raw attention-core output first and this
-# kernel runs on the contiguous (B, C, L) stream, mirroring fused_mlp_cln_dm
-# on the MLP side. s/b are the per-sample (B, C) conditional scale/shift with
-# the drop-path keep mask pre-folded (the epilogue is linear in them).
-#
-# What this removes vs the composable path (r3/r4 trace accounting): the
-# norm_attn read+write pass over the stream plus its fp32-upcast copies
-# (norms bucket ~9.7 ms/step, CLN upcasts ~4 ms at ScOT-B b128) and the
-# separate residual-add pass; the proj GEMM itself moves from XLA into the
-# kernel at identical FLOPs. The backward recomputes the proj output from
-# ``a`` (one extra GEMM) instead of stashing it.
-# ---------------------------------------------------------------------------
-
-def _fwd_kernel_proj_cln(eps, a_ref, sc_ref, w_ref, bp_ref, s_ref, b_ref,
-                         o_ref):
-    a = a_ref[0]                                        # (C, Lt)
-    # o = Wp^T @ a, rounded to the stream dtype with the bias added in that
-    # dtype — bit-matching the unfused einsum("nct,co->not") + bias add.
-    o = _dot(w_ref[...], a, (0, 0)).astype(a.dtype) + bp_ref[...].astype(a.dtype)
-    o = o.astype(jnp.float32)
-    _, _, y = _cln(o, s_ref, b_ref, eps)
-    o_ref[0] = (sc_ref[0].astype(jnp.float32)
-                + y.astype(a.dtype).astype(jnp.float32)).astype(o_ref.dtype)
-
-
-def _bwd_kernel_proj_cln(eps, a_ref, w_ref, bp_ref, s_ref, b_ref, dy_ref,
-                         da_ref, dw_ref, dbp_ref, ds_ref, db_ref):
-    i = pl.program_id(0)
-    a = a_ref[0]
-    dy = dy_ref[0].astype(jnp.float32)                  # (C, Lt)
-    o = _dot(w_ref[...], a, (0, 0)).astype(a.dtype) + bp_ref[...].astype(a.dtype)
-    o = o.astype(jnp.float32)
-    yhat, r, _ = _cln(o, s_ref, b_ref, eps)
-    # Conditioning grads: per-image (C, 1) lane reductions.
-    ds_ref[0] = jnp.sum(dy * yhat, axis=1, keepdims=True)
-    db_ref[0] = jnp.sum(dy, axis=1, keepdims=True)
-    # LayerNorm backward (no affine), channel = sublane axis.
-    dyh = dy * s_ref[0]
-    m1 = jnp.mean(dyh, axis=0, keepdims=True)
-    m2 = jnp.mean(dyh * yhat, axis=0, keepdims=True)
-    do = r * (dyh - m1 - yhat * m2)                     # (C, Lt) f32
-    dob = do.astype(a.dtype)
-    da_ref[0] = _dot(w_ref[...], dob, (1, 0)).astype(da_ref.dtype)
-    _acc(dw_ref, i, _dot(a, dob, (1, 1)))               # (C, C)
-    _acc(dbp_ref, i, jnp.sum(do, axis=1, keepdims=True))
-
-
-def _call_fwd_proj_cln(eps, a, sc, w, bp, s, b):
-    n, c, l = a.shape
-    tile = pl.BlockSpec((1, c, l), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    per_im = pl.BlockSpec((1, c, 1), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel_proj_cln, eps),
-        grid=(n,),
-        in_specs=[tile, tile, const((c, c)), const((c, 1)), per_im, per_im],
-        out_specs=tile,
-        out_shape=jax.ShapeDtypeStruct((n, c, l), a.dtype),
-        interpret=_needs_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * l * c * c,
-            bytes_accessed=3 * n * l * c * a.dtype.itemsize,
-            transcendentals=0,
-        ),
-    )(a, sc, w, bp.reshape(c, 1), s.reshape(n, c, 1), b.reshape(n, c, 1))
-
-
-def _call_bwd_proj_cln(eps, a, w, bp, s, b, dy):
-    n, c, l = a.shape
-    tile = pl.BlockSpec((1, c, l), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    per_im = pl.BlockSpec((1, c, 1), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    da, dw, dbp, ds, db = pl.pallas_call(
-        functools.partial(_bwd_kernel_proj_cln, eps),
-        grid=(n,),
-        in_specs=[tile, const((c, c)), const((c, 1)), per_im, per_im, tile],
-        out_specs=[tile, const((c, c)), const((c, 1)), per_im, per_im],
-        out_shape=[jax.ShapeDtypeStruct((n, c, l), a.dtype),
-                   jax.ShapeDtypeStruct((c, c), jnp.float32),
-                   jax.ShapeDtypeStruct((c, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((n, c, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((n, c, 1), jnp.float32)],
-        interpret=_needs_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=6 * n * l * c * c,
-            bytes_accessed=5 * n * l * c * a.dtype.itemsize,
-            transcendentals=0,
-        ),
-    )(a, w, bp.reshape(c, 1), s.reshape(n, c, 1), b.reshape(n, c, 1), dy)
-    return (da, dw.astype(w.dtype), dbp[:, 0].astype(bp.dtype),
-            ds[..., 0].astype(s.dtype), db[..., 0].astype(b.dtype))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _proj_cln_core(eps, a, sc, w, bp, s, b):
-    return _call_fwd_proj_cln(eps, a, sc, w, bp, s, b)
-
-
-def _proj_cln_fwd_rule(eps, a, sc, w, bp, s, b):
-    return _call_fwd_proj_cln(eps, a, sc, w, bp, s, b), (a, w, bp, s, b)
-
-
-def _proj_cln_bwd_rule(eps, res, dy):
-    a, w, bp, s, b = res
-    da, dw, dbp, ds, db = _call_bwd_proj_cln(eps, a, w, bp, s, b, dy)
-    # d(shortcut) is the identity cotangent — no kernel work needed.
-    return da, dy, dw, dbp, ds, db
-
-
-_proj_cln_core.defvjp(_proj_cln_fwd_rule, _proj_cln_bwd_rule)
-
-
-def proj_cln_eligible(b: int, l: int, c: int, itemsize: int) -> bool:
-    """True when the fused attention-side tail can run: L lane-aligned and
-    the backward's VMEM-resident set (a/sc/dy/da tiles + 4 f32 (C, L)
-    intermediates + the (C, C) weight/grad blocks) fits the budget."""
-    if l % 128 != 0:
-        return False
-    from ..utils.device import vmem_budget_bytes
-
-    need = 4 * 2 * c * l * itemsize + 4 * c * l * 4 + 2 * c * c * (itemsize + 4)
-    return need <= vmem_budget_bytes()
-
-
-def fused_proj_cln_dm(a_dm, shortcut_dm, w, bp, scale, shift, eps=1e-5):
-    """Fused attention-side block tail on the D-major stream:
-    ``shortcut + scale * cln(a @ w + bp) + shift``.
-
-    Args:
-        a_dm: (B, C, L) window-reversed raw attention-core output.
-        shortcut_dm: (B, C, L) residual stream entering the block.
-        w: (C, C) output-projection kernel (Dense layout, in x out).
-        bp: (C,) projection bias (the v-bias already folded in by the caller).
-        scale, shift: (B, C) f32 conditional scale/shift, drop-path keep mask
-            pre-folded.
-    Returns:
-        (B, C, L) in the stream dtype.
-    """
-    b, c, l = a_dm.shape
-    assert proj_cln_eligible(b, l, c, a_dm.dtype.itemsize)
-    from jax.sharding import PartitionSpec as P
-
-    from ..parallel.mesh import maybe_shard_map_data
-
-    core = maybe_shard_map_data(
-        functools.partial(_proj_cln_core, float(eps)), b, 1,
-        in_specs=(P("data"), P("data"), P(), P(), P("data"), P("data")),
-        out_specs=P("data"))
-    return core(a_dm, shortcut_dm, w, bp, scale, shift)
-
-
-def fused_proj_cln(a_dm, shortcut, w, bp, scale, shift, eps=1e-5):
-    """Token-major wrapper of :func:`fused_proj_cln_dm`: ``a_dm`` is already
-    D-major (B, C, L) straight out of the D-major window reverse; the
-    token-major (B, L, C) shortcut and output pay one swapaxes each, which
-    elide into layout bitcasts around the custom call (see the D-major MLP
-    kernel comment)."""
-    out = fused_proj_cln_dm(a_dm, jnp.swapaxes(shortcut, 1, 2), w, bp,
-                            scale, shift, eps=eps)
     return jnp.swapaxes(out, 1, 2)
 
 
@@ -814,13 +601,17 @@ def _min_win_tile() -> int:
     return int(os.environ.get("POSEIDON_MLP_MIN_TILE", "256"))
 
 
-def fused_mlp(x, w1, b1, w2, b2):
+def fused_mlp(x, w1, b1, w2, b2, min_win_tile=None):
     """Fused ``gelu_exact(x @ w1 + b1) @ w2 + b2`` over the last axis.
 
     Args:
         x: (..., C) activations (any leading shape; flattened internally).
         w1: (C, F); b1: (F,); w2: (F, C); b2: (C,). Weights in compute dtype;
             biases may stay f32 (added on the f32 accumulator).
+        min_win_tile: minimum token tile for the kernel to engage; ``None``
+            defers to the POSEIDON_MLP_MIN_TILE env gate (default 256). The
+            caller threads ``config.mlp_min_win_tile`` here (128 for ScOT-L,
+            where the kernel wins below the B-derived threshold).
     Returns:
         (..., C) in x's dtype.
     """
@@ -843,7 +634,8 @@ def fused_mlp(x, w1, b1, w2, b2):
             return jnp.swapaxes(out, 1, 2)
     x2 = x.reshape(-1, c)
     mt, fused_dw = _pick_tile(x2.shape[0], c, f, x.dtype.itemsize)
-    if not (fused_dw and mt >= _min_win_tile()):
+    gate = min_win_tile if min_win_tile is not None else _min_win_tile()
+    if not (fused_dw and mt >= gate):
         h = jax.nn.gelu(x2 @ w1 + b1.astype(x.dtype), approximate=False)
         return (h @ w2 + b2.astype(x.dtype)).reshape(*lead, c)
     granule = x.shape[1] if x.ndim == 3 else 1  # tokens per image

@@ -11,8 +11,6 @@ host are load-poisonable, spans are not):
   mt128       + POSEIDON_MLP_MIN_TILE=128 — admits the fused D-major MLP
               kernel for L's stage-1 (C=384 lands at token tile 128, just
               under the B-derived 256 threshold: ops/mlp.py:805-810)
-  atail       + config.fused_attn_tail (proj+CLN+residual epilogue kernel)
-  mt128_atail both
   b96         best-of-above at batch 96 (amortizes the 628.6M-param
               optimizer HBM sweep, ~21.5 ms/step: scripts/l_floor.py)
 
@@ -117,14 +115,9 @@ def main():
     # the singles for attribution if time allows.
     variants = {
         "base": ([], {}),
-        "mt128_atail": (["--fused_attn_tail"],
-                        {"POSEIDON_MLP_MIN_TILE": "128"}),
         "mt128": ([], {"POSEIDON_MLP_MIN_TILE": "128"}),
-        "atail": (["--fused_attn_tail"], {}),
-        # knob-decision evidence (VERDICT r4 item 9): dmajor_stream was
-        # neutral at B b128; L's wider C doubles the per-block relayout
-        # volume, the one geometry where it could still win.
-        "dmajor": (["--dmajor"], {}),
+        # atail and dmajor variants removed with their kernels/knobs
+        # (measured negative at both geometries — r5 results in BASELINE.md).
     }
     only = set(args.only.split(",")) if args.only else None
     for name, (xargs, env) in variants.items():

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks=False, attention_impl="xla", fused_block_tail=True, dmajor=False, model_size="B", fused_attn_tail=False):
+def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks=False, attention_impl="xla", fused_block_tail=True, model_size="B"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -33,8 +33,7 @@ def run_trace(batch, trace_dir, score_dtype="bfloat16", remat=False, scan_blocks
                       channel_slice_list=(0, 1, 3, 4), use_conditioning=True,
                       score_dtype=score_dtype, scan_blocks=scan_blocks,
                       attention_impl=attention_impl,
-                      fused_block_tail=fused_block_tail, dmajor_stream=dmajor,
-                      fused_attn_tail=fused_attn_tail)
+                      fused_block_tail=fused_block_tail)
     model = ScOT(config=cfg, dtype=jnp.bfloat16, remat=remat)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, 4, 128, 128), jnp.float32)
@@ -129,14 +128,11 @@ if __name__ == "__main__":
     ap.add_argument("--scan_blocks", action="store_true")
     ap.add_argument("--attention_impl", default="xla")
     ap.add_argument("--no_fused_tail", action="store_true")
-    ap.add_argument("--dmajor", action="store_true")
-    ap.add_argument("--fused_attn_tail", action="store_true")
     ap.add_argument("--analyze_only", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
         os.makedirs(args.trace_dir, exist_ok=True)
         run_trace(args.batch, args.trace_dir, args.score_dtype, args.remat,
                   args.scan_blocks, args.attention_impl,
-                  not args.no_fused_tail, args.dmajor,
-                  model_size=args.model, fused_attn_tail=args.fused_attn_tail)
+                  not args.no_fused_tail, model_size=args.model)
     analyze(args.trace_dir)
